@@ -1,0 +1,161 @@
+"""Batched distance kernels (MXU path).
+
+TPU-native replacement for the reference's SIMD distance kernels
+(/root/reference/include/simd/distance_l2.hpp:38-143, distance_ip.hpp:50-170).
+Where the reference computes one scalar distance per call with AVX512
+intrinsics, here the unit of work is a tile: distances are a matmul on the
+MXU — L2² = |q|² + |x|² − 2·q·xᵀ, IP = −q·xᵀ, COS = IP over normalized
+vectors (reference normalizes at fit/insert/query: raw_space.hpp:131-153).
+
+Distance value conventions match the reference exactly:
+  l2  → squared euclidean
+  ip  → negative inner product (distance_ip.ipp:45-52)
+  cos → negative cosine similarity (normalize-then-IP)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INVALID_ID = jnp.int32(-1)
+FINF = jnp.float32(jnp.inf)
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+def sqnorms(x: jax.Array) -> jax.Array:
+    """Per-row squared L2 norms, f32."""
+    xf = x.astype(jnp.float32)
+    return jnp.sum(xf * xf, axis=-1)
+
+
+def normalize_rows(x: jax.Array, eps: float = 1e-30) -> jax.Array:
+    n = jnp.sqrt(jnp.sum(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True))
+    return (x / jnp.maximum(n, eps)).astype(x.dtype)
+
+
+def pairwise(
+    q: jax.Array,
+    x: jax.Array,
+    metric: str = "l2",
+    x_sq: Optional[jax.Array] = None,
+    q_sq: Optional[jax.Array] = None,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """Dense [Q, N] distance matrix. ``metric``: 'l2' | 'ip' | 'cos'.
+
+    For 'cos' the inputs are normalized here; spaces that pre-normalize
+    should pass metric='ip'.
+    """
+    if metric == "cos":
+        q = normalize_rows(q)
+        x = normalize_rows(x)
+        metric = "ip"
+        x_sq = q_sq = None
+    if compute_dtype is None:
+        # Full f32 accuracy: on TPU this lowers to the 3-pass bf16 scheme.
+        # The explicit-bf16 path below is the throughput-serving mode.
+        dot = jnp.dot(q, x.T, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+    else:
+        dot = jnp.dot(q.astype(compute_dtype), x.T.astype(compute_dtype),
+                      preferred_element_type=jnp.float32)
+    if metric == "ip":
+        return -dot
+    if metric != "l2":
+        raise ValueError(f"unknown metric {metric!r}")
+    if x_sq is None:
+        x_sq = sqnorms(x)
+    if q_sq is None:
+        q_sq = sqnorms(q)
+    d = q_sq[:, None] + x_sq[None, :] - 2.0 * dot
+    return jnp.maximum(d, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "tile_n", "bf16"),
+)
+def _exact_topk_device(
+    q: jax.Array,          # [Q, D] f32 (already normalized if cos)
+    x: jax.Array,          # [Np, D] padded to tile_n multiple
+    x_sq: jax.Array,       # [Np] f32
+    valid: jax.Array,      # [Np] bool (False on padding / tombstones)
+    k: int,
+    metric: str,
+    tile_n: int,
+    bf16: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    cdt = jnp.bfloat16 if bf16 else None
+    n_tiles = x.shape[0] // tile_n
+    q_sq = sqnorms(q)
+    Q = q.shape[0]
+
+    def body(carry, t):
+        best_d, best_i = carry
+        xs = jax.lax.dynamic_slice_in_dim(x, t * tile_n, tile_n)
+        vs = jax.lax.dynamic_slice_in_dim(valid, t * tile_n, tile_n)
+        ss = jax.lax.dynamic_slice_in_dim(x_sq, t * tile_n, tile_n)
+        d = pairwise(q, xs, metric=metric, x_sq=ss, q_sq=q_sq, compute_dtype=cdt)
+        d = jnp.where(vs[None, :], d, FINF)
+        ids = t * tile_n + jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
+        ids = jnp.broadcast_to(ids, (Q, tile_n))
+        cat_d = jnp.concatenate([best_d, d], axis=1)
+        cat_i = jnp.concatenate([best_i, ids], axis=1)
+        nd, sel = jax.lax.top_k(-cat_d, k)
+        ni = jnp.take_along_axis(cat_i, sel, axis=1)
+        return (-nd, ni), None
+
+    init = (
+        jnp.full((Q, k), FINF, dtype=jnp.float32),
+        jnp.full((Q, k), INVALID_ID, dtype=jnp.int32),
+    )
+    (best_d, best_i), _ = jax.lax.scan(body, init, jnp.arange(n_tiles))
+    return best_d, best_i
+
+
+def exact_topk(
+    queries,
+    base,
+    k: int,
+    metric: str = "l2",
+    valid: Optional[np.ndarray] = None,
+    tile_n: int = 16384,
+    compute_dtype: str = "float32",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact top-k over ``base`` with tiled scanning (bounded memory).
+
+    Host-friendly wrapper: accepts numpy or jax arrays, returns numpy
+    (dists [Q,k] f32, ids [Q,k] i32; ids of -1 where fewer than k valid).
+    """
+    q = jnp.asarray(queries, dtype=jnp.float32)
+    x = jnp.asarray(base, dtype=jnp.float32)
+    n = x.shape[0]
+    if metric == "cos":
+        q = normalize_rows(q)
+        x = normalize_rows(x)
+        metric = "ip"
+    tile_n = int(min(tile_n, max(128, _round_up(n, 128))))
+    npad = _round_up(max(n, tile_n), tile_n)
+    v = np.ones(n, dtype=bool) if valid is None else np.asarray(valid, dtype=bool).copy()
+    vfull = np.zeros(npad, dtype=bool)
+    vfull[:n] = v
+    if npad != n:
+        x = jnp.pad(x, ((0, npad - n), (0, 0)))
+    x_sq = sqnorms(x)
+    d, i = _exact_topk_device(
+        q, x, x_sq, jnp.asarray(vfull), k=int(k), metric=metric,
+        tile_n=tile_n, bf16=(compute_dtype == "bfloat16"),
+    )
+    return np.asarray(d), np.asarray(i)

@@ -1,0 +1,146 @@
+"""Index parameter schema and enums.
+
+TPU-native re-design of the reference's parameter plumbing:
+  - enums mirror /root/reference/include/utils/metric_type.hpp:26-54 and
+    python/src/alayalite/common.py:38-190 (string-valued for JSON round-trips).
+  - ``IndexParams`` mirrors python/src/alayalite/schema.py:46-165 (same
+    defaults: hnsw / float32 / uint32 / none / l2 / capacity=100000 /
+    max_nbrs=32) plus TPU-specific knobs (storage dtype, batch sizing).
+  - JSON round-trip + on-disk naming contract match schema.py:58-68 so a
+    directory written by this framework has the same shape of metadata.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import json
+from typing import Any, Optional
+
+
+class MetricType(str, enum.Enum):
+    L2 = "l2"
+    IP = "ip"
+    COS = "cos"
+
+    @classmethod
+    def parse(cls, v: "MetricType | str") -> "MetricType":
+        if isinstance(v, MetricType):
+            return v
+        return cls(str(v).lower())
+
+
+class IndexType(str, enum.Enum):
+    FLAT = "flat"  # brute-force exact (TPU MXU shines here; no ref analog needed)
+    HNSW = "hnsw"
+    NSG = "nsg"
+    FUSION = "fusion"
+
+    @classmethod
+    def parse(cls, v: "IndexType | str") -> "IndexType":
+        if isinstance(v, IndexType):
+            return v
+        return cls(str(v).lower())
+
+
+class QuantizationType(str, enum.Enum):
+    NONE = "none"
+    SQ8 = "sq8"
+    SQ4 = "sq4"
+    RABITQ = "rabitq"
+
+    @classmethod
+    def parse(cls, v: "QuantizationType | str | None") -> "QuantizationType":
+        if v is None:
+            return cls.NONE
+        if isinstance(v, QuantizationType):
+            return v
+        return cls(str(v).lower())
+
+
+_VALID_DTYPES = ("float32", "bfloat16", "float16", "int8", "uint8", "int32", "uint32", "float64")
+_VALID_ID_TYPES = ("uint32", "uint64", "int32", "int64")
+
+
+@dataclasses.dataclass
+class IndexParams:
+    """User-facing index configuration (reference: schema.py:46-165)."""
+
+    index_type: IndexType = IndexType.HNSW
+    data_type: str = "float32"
+    id_type: str = "uint32"
+    quantization_type: QuantizationType = QuantizationType.NONE
+    metric: MetricType = MetricType.L2
+    capacity: int = 100_000
+    max_nbrs: int = 32
+
+    # --- TPU-specific extensions (defaults chosen to be safe everywhere) ---
+    # dtype used for the on-device vector slab; bfloat16 halves HBM traffic
+    # at a tiny recall cost and keeps MXU-native matmuls.
+    storage_dtype: str = "float32"
+    # beam width used at build time (ef_construction analog).
+    ef_construction: int = 200
+
+    def __post_init__(self) -> None:
+        self.index_type = IndexType.parse(self.index_type)
+        self.metric = MetricType.parse(self.metric)
+        self.quantization_type = QuantizationType.parse(self.quantization_type)
+        if self.data_type not in _VALID_DTYPES:
+            raise ValueError(f"invalid data_type {self.data_type!r}; one of {_VALID_DTYPES}")
+        if self.id_type not in _VALID_ID_TYPES:
+            raise ValueError(f"invalid id_type {self.id_type!r}; one of {_VALID_ID_TYPES}")
+        if self.storage_dtype not in ("float32", "bfloat16", "float16"):
+            raise ValueError(f"invalid storage_dtype {self.storage_dtype!r}")
+        if int(self.capacity) <= 0:
+            raise ValueError("capacity must be positive")
+        if int(self.max_nbrs) <= 0:
+            raise ValueError("max_nbrs must be positive")
+        self.capacity = int(self.capacity)
+        self.max_nbrs = int(self.max_nbrs)
+        self.ef_construction = int(self.ef_construction)
+
+    # ---- persistence contract (reference: schema.py:58-68) ----
+    def index_filename(self) -> str:
+        return f"{self.index_type.value}_{self.metric.value}_{self.max_nbrs}.index"
+
+    def data_filename(self) -> str:
+        return "raw.data"
+
+    def quant_filename(self) -> Optional[str]:
+        if self.quantization_type is QuantizationType.NONE:
+            return None
+        return f"{self.quantization_type.value}.data"
+
+    def to_dict(self) -> dict:
+        return {
+            "index_type": self.index_type.value,
+            "data_type": self.data_type,
+            "id_type": self.id_type,
+            "quantization_type": self.quantization_type.value,
+            "metric": self.metric.value,
+            "capacity": self.capacity,
+            "max_nbrs": self.max_nbrs,
+            "storage_dtype": self.storage_dtype,
+            "ef_construction": self.ef_construction,
+        }
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "IndexParams":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    @classmethod
+    def from_json(cls, s: str) -> "IndexParams":
+        return cls.from_dict(json.loads(s))
+
+
+def fill_none_values(params: Optional[dict] = None, **kwargs: Any) -> IndexParams:
+    """Build IndexParams from a possibly-sparse dict, defaulting missing keys
+    (reference behavior: schema.py:70-84)."""
+    merged = dict(params or {})
+    merged.update({k: v for k, v in kwargs.items() if v is not None})
+    merged = {k: v for k, v in merged.items() if v is not None}
+    return IndexParams.from_dict(merged)

@@ -1,0 +1,50 @@
+"""Recall / ground-truth evaluation helpers.
+
+Parity with /root/reference/python/src/alayalite/utils.py:78-105 (calc_recall,
+calc_gt) and include/utils/evaluate.hpp:30-102 (find_exact_gt honoring a
+deleted set). Ground truth runs on-device through the tiled distance ops so it
+is fast even at 1M scale; recall is host-side set math.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+
+
+def calc_recall(results: Sequence[Sequence[int]], gt: Sequence[Sequence[int]], k: Optional[int] = None) -> float:
+    """Mean |results ∩ gt| / k over queries (reference: utils.py:78-92)."""
+    results = np.asarray(results)
+    gt = np.asarray(gt)
+    if k is None:
+        k = results.shape[1]
+    total = 0.0
+    for r, g in zip(results, gt):
+        total += len(set(int(x) for x in r[:k]) & set(int(x) for x in g[:k]))
+    return total / (len(results) * k)
+
+
+def calc_gt(
+    data: np.ndarray,
+    queries: np.ndarray,
+    topk: int,
+    metric: str = "l2",
+    deleted: Optional[Iterable[int]] = None,
+) -> np.ndarray:
+    """Brute-force exact top-k ids (reference: utils.py:94-105, evaluate.hpp:30-62).
+
+    Honors a deleted set like find_exact_gt. Uses the device-tiled exact
+    search when JAX is importable, else numpy.
+    """
+    data = np.asarray(data, dtype=np.float32)
+    queries = np.asarray(queries, dtype=np.float32)
+    valid = None
+    if deleted is not None:
+        valid = np.ones(data.shape[0], dtype=bool)
+        valid[np.asarray(list(deleted), dtype=np.int64)] = False
+
+    from ..ops.distance import exact_topk  # local import: keep utils importable sans jax
+
+    _, ids = exact_topk(queries, data, topk, metric=metric, valid=valid)
+    return np.asarray(ids)

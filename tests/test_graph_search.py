@@ -1,0 +1,61 @@
+"""Beam-search engine correctness: recall over an exact-kNN graph.
+
+Analog of the reference's tests/executor/search_test.cpp (build graph →
+search → recall floor)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from alayalite_tpu.index.graph import Graph
+from alayalite_tpu.index.knn import exact_knn
+from alayalite_tpu.index.search import beam_search, graph_seeds
+from alayalite_tpu.spaces.raw import RawSpace
+from alayalite_tpu.utils.datasets import random_dataset
+from alayalite_tpu.utils.evaluate import calc_recall
+
+
+def test_beam_search_recall_on_knn_graph():
+    ds = random_dataset(n=2000, dim=32, n_queries=64, seed=3, topk=10)
+    space = RawSpace.create(2048, 32).fit(ds.data)
+    _, nbrs = exact_knn(ds.data, 16)
+    # raw kNN graphs are cluster-disconnected; spread entry points stand in
+    # for the connectivity repair that real builders perform.
+    graph = Graph.from_numpy(nbrs, eps=list(range(0, 2000, 31)), capacity=2048)
+    q = space.prep_query(jnp.asarray(ds.queries))
+    seeds = graph_seeds(graph, space, q)
+    d, ids = beam_search(space, graph.nbrs, seeds, q, k=10, ef=64,
+                         valid=space.valid)
+    rec = calc_recall(np.asarray(ids), ds.gt)
+    assert rec >= 0.85, f"recall {rec}"
+    # distances must be actual L2^2 to the returned ids, ascending
+    dd = np.asarray(d)
+    assert (np.diff(dd, axis=1) >= -1e-5).all()
+    got = ((ds.queries[:, None, :] - ds.data[np.asarray(ids)]) ** 2).sum(-1)
+    np.testing.assert_allclose(dd, got, rtol=1e-3, atol=1e-3)
+
+
+def test_beam_search_ip_metric():
+    ds = random_dataset(n=1500, dim=24, n_queries=32, seed=5, topk=5, metric="ip")
+    space = RawSpace.create(1500, 24, metric="ip").fit(ds.data)
+    _, nbrs = exact_knn(ds.data, 20, metric="ip")
+    graph = Graph.from_numpy(nbrs, eps=list(range(0, 1500, 37)))
+    q = space.prep_query(jnp.asarray(ds.queries))
+    seeds = graph_seeds(graph, space, q)
+    _, ids = beam_search(space, graph.nbrs, seeds, q, k=5, ef=96, valid=space.valid)
+    rec = calc_recall(np.asarray(ids), ds.gt)
+    assert rec >= 0.75, f"recall {rec}"
+
+
+def test_beam_search_respects_tombstones():
+    ds = random_dataset(n=1000, dim=16, n_queries=16, seed=9)
+    space = RawSpace.create(1000, 16).fit(ds.data)
+    _, nbrs = exact_knn(ds.data, 12)
+    graph = Graph.from_numpy(nbrs, eps=list(range(0, 1000, 43)))
+    # tombstone every even id
+    space = space.remove(jnp.arange(0, 1000, 2))
+    q = space.prep_query(jnp.asarray(ds.queries))
+    seeds = graph_seeds(graph, space, q)
+    _, ids = beam_search(space, graph.nbrs, seeds, q, k=10, ef=32, valid=space.valid)
+    ids = np.asarray(ids)
+    assert (ids % 2 != 0).all() or (ids == -1).any() is False
+    assert ((ids == -1) | (ids % 2 == 1)).all()

@@ -1,0 +1,331 @@
+"""IndexEngine — the type-dispatched index object behind the Python SDK.
+
+TPU-native re-design of the reference's PyIndex / PyIndexInterface
+(/root/reference/python/include/index.hpp:61-589): owns the build space, the
+optional quantized search space, the graph, and drives fit / search /
+batch_search / insert / remove / save / load. Where the reference fans a
+C++ template cross-product out through pybind dispatch macros
+(python/include/dispatch.hpp:25-175), here one engine composes pytree spaces
+and jitted search programs — dtype/metric/quantization are data, not types.
+
+Search semantics match the reference:
+  - graph indices: lockstep beam search at width ``ef``; when the search
+    space is quantized the ef-pool is reranked with exact distances in the
+    build space (index.hpp:450-488).
+  - flat index: tiled exact top-k (no reference analog needed — on TPU the
+    MXU makes brute force competitive to surprisingly large N).
+  - insert: beam-search top-``max_nbrs`` become the new node's edges and the
+    touched nodes re-prune, the batched GraphUpdateJob (graph_update_job.hpp:
+    36-138).
+  - remove: tombstone; searches keep routing *through* removed nodes but
+    filter them from results — same reachability effect as the reference's
+    2-hop detour (graph_search_job.hpp:373-417) without mutating edges.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import logging
+import os
+import time
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.distance import exact_topk
+from ..params import IndexParams, IndexType, QuantizationType
+from .graph import Graph
+from .prune import occlusion_prune
+from .search import beam_search, graph_seeds
+
+log = logging.getLogger("alayalite_tpu")
+
+_BATCH_BUCKETS = (64, 256, 1024, 4096)
+
+
+def _bucket(b: int) -> int:
+    for s in _BATCH_BUCKETS:
+        if b <= s:
+            return s
+    return -(-b // 4096) * 4096
+
+
+def _make_builder(params: IndexParams, seed: int = 0):
+    from .fusion import FusionGraphBuilder
+    from .hnsw import HNSWBuilder
+    from .nsg import NSGBuilder
+
+    r = params.max_nbrs
+    l = params.ef_construction
+    if params.index_type is IndexType.HNSW:
+        return HNSWBuilder(r=r, l=l, seed=seed)
+    if params.index_type is IndexType.NSG:
+        return NSGBuilder(r=r, l=max(l // 2, 64), seed=seed)
+    if params.index_type is IndexType.FUSION:
+        return FusionGraphBuilder(r=r, l=l, seed=seed)
+    raise ValueError(f"no graph builder for {params.index_type}")
+
+
+def _make_space(params: IndexParams, capacity: int, dim: int):
+    from ..spaces.raw import RawSpace
+
+    return RawSpace.create(capacity, dim, metric=params.metric.value,
+                           storage_dtype=params.storage_dtype)
+
+
+def _make_quant_space(params: IndexParams, capacity: int, dim: int):
+    if params.quantization_type is QuantizationType.NONE:
+        return None
+    if params.quantization_type is QuantizationType.SQ8:
+        from ..spaces.sq import SQSpace
+
+        return SQSpace.create(capacity, dim, bits=8, metric=params.metric.value)
+    if params.quantization_type is QuantizationType.SQ4:
+        from ..spaces.sq import SQSpace
+
+        return SQSpace.create(capacity, dim, bits=4, metric=params.metric.value)
+    if params.quantization_type is QuantizationType.RABITQ:
+        from ..spaces.rabitq import RaBitQSpace
+
+        return RaBitQSpace.create(capacity, dim, metric=params.metric.value)
+    raise ValueError(f"unknown quantization {params.quantization_type}")
+
+
+class IndexEngine:
+    """Stateful host wrapper over functional device state (spaces + graph)."""
+
+    def __init__(self, params: IndexParams):
+        self.params = params
+        self.space = None          # build space (RawSpace)
+        self.search_space = None   # quantized space or == space
+        self.graph: Optional[Graph] = None
+        self._fitted = False
+
+    # ------------------------------------------------------------------ fit
+    def fit(self, vectors: np.ndarray, ef_construction: Optional[int] = None,
+            num_threads: int = 1) -> None:
+        """Build the index over ``vectors`` (reference: index.hpp:177-227).
+
+        ``num_threads`` is accepted for API parity; batching replaces
+        threading on TPU (SURVEY.md §2c).
+        """
+        del num_threads
+        v = np.asarray(vectors, dtype=np.float32)
+        if v.ndim != 2:
+            raise ValueError("fit expects a 2-D array [n, dim]")
+        n, dim = v.shape
+        capacity = max(self.params.capacity, n)
+        if ef_construction:
+            self.params.ef_construction = int(ef_construction)
+        t0 = time.time()
+        self.space = _make_space(self.params, capacity, dim).fit(v)
+        q = _make_quant_space(self.params, capacity, dim)
+        self.search_space = q.fit(v) if q is not None else self.space
+
+        if self.params.quantization_type is QuantizationType.RABITQ:
+            # rabitq implies the QG graph: adjacency + quantized neighbor
+            # blocks are built together (reference: index.hpp:188-195)
+            from .qg import QGBuilder
+
+            builder = QGBuilder(ef=max(self.params.ef_construction, 128))
+            self.graph, self.search_space = builder.build_graph(
+                self.space, self.search_space, n)
+        elif self.params.index_type is IndexType.FLAT:
+            self.graph = None
+        else:
+            builder = _make_builder(self.params)
+            self.graph = builder.build_graph(self.space, n)
+        self._fitted = True
+        log.info("fit: n=%d dim=%d type=%s in %.2fs", n, dim,
+                 self.params.index_type.value, time.time() - t0)
+
+    # --------------------------------------------------------------- search
+    def _require_fitted(self):
+        if not self._fitted:
+            raise RuntimeError("index is not fitted")
+
+    def batch_search_with_distance(
+        self, queries: np.ndarray, topk: int, ef: int = 100,
+        num_threads: int = 1,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(ids [Q, topk] i32 with -1 pad, dists [Q, topk] f32)."""
+        del num_threads
+        self._require_fitted()
+        q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        nq = q.shape[0]
+        if self.params.index_type is IndexType.FLAT:
+            d, i = exact_topk(q, np.asarray(self.space.data.astype(jnp.float32)),
+                              topk, metric=self.space.metric,
+                              valid=np.asarray(self.space.valid))
+            return i, d
+
+        b = _bucket(nq)
+        if b != nq:
+            q = np.pad(q, ((0, b - nq), (0, 0)))
+        qj = self.search_space.prep_query(jnp.asarray(q))
+        ef = max(int(ef), int(topk))
+        if self.params.quantization_type is QuantizationType.RABITQ:
+            from .search import rabitq_beam_search
+
+            seeds = jnp.broadcast_to(self.graph.eps[None, :],
+                                     (qj.shape[0], self.graph.eps.shape[0]))
+            d, i = rabitq_beam_search(self.search_space, seeds, qj,
+                                      k=topk, ef=ef, valid=self.space.valid)
+            return np.asarray(i)[:nq], np.asarray(d)[:nq]
+        seeds = graph_seeds(self.graph, self.search_space, qj)
+        m = self.params.beam_expand
+        if self.search_space is self.space:
+            d, i = beam_search(self.space, self.graph.nbrs, seeds, qj,
+                               k=topk, ef=ef, valid=self.space.valid,
+                               n_expand=m)
+        else:
+            # quantized traversal + exact rerank of the ef-pool in build space
+            d_q, pool = beam_search(self.search_space, self.graph.nbrs, seeds,
+                                    qj, k=ef, ef=ef, valid=self.space.valid,
+                                    n_expand=m)
+            d, i = _rerank(self.space, self.space.prep_query(jnp.asarray(q)),
+                           pool, topk)
+        return np.asarray(i)[:nq], np.asarray(d)[:nq]
+
+    def batch_search(self, queries, topk: int, ef: int = 100,
+                     num_threads: int = 1) -> np.ndarray:
+        ids, _ = self.batch_search_with_distance(queries, topk, ef, num_threads)
+        return ids
+
+    def search(self, query, topk: int, ef: int = 100) -> np.ndarray:
+        ids = self.batch_search(np.atleast_2d(query), topk, ef)
+        return ids[0]
+
+    def search_with_distance(self, query, topk: int, ef: int = 100):
+        ids, d = self.batch_search_with_distance(np.atleast_2d(query), topk, ef)
+        return ids[0], d[0]
+
+    # --------------------------------------------------------------- update
+    def insert(self, vectors, ef: int = 100) -> np.ndarray:
+        """Batched online insert (graph_update_job.hpp:66-89). Returns new ids
+        (-1 where capacity was exhausted — caller raises, index.py:117-123)."""
+        self._require_fitted()
+        if self.params.quantization_type is QuantizationType.RABITQ:
+            raise RuntimeError(
+                "online insert into a rabitq (QG) index is not supported; "
+                "rebuild with fit() (the packed neighbor blocks are "
+                "build-time artifacts)")
+        v = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        nq = v.shape[0]
+        r = self.params.max_nbrs
+
+        if self.params.index_type is IndexType.FLAT:
+            self.space, ids = self.space.insert(jnp.asarray(v))
+            if self.search_space is not self.space:
+                self.search_space, _ = self.search_space.insert(jnp.asarray(v))
+            return np.asarray(ids)
+
+        # 1. find neighbors for the new nodes with the current graph
+        ids_nb, _d = self.batch_search_with_distance(v, r, ef=max(ef, r))
+        # 2. append vectors
+        self.space, new_ids = self.space.insert(jnp.asarray(v))
+        if self.search_space is not self.space:
+            self.search_space, _ = self.search_space.insert(jnp.asarray(v))
+        new_ids_np = np.asarray(new_ids)
+        # 3. set new rows + add reverse candidates, re-prune touched nodes
+        nbrs = np.array(self.graph.nbrs)  # mutable host copy
+        ok = new_ids_np >= 0
+        nbrs[new_ids_np[ok]] = ids_nb[ok]
+        touched = np.unique(ids_nb[ok][ids_nb[ok] >= 0])
+        if touched.size:
+            # candidates = existing edges ∪ the new node(s) pointing at them
+            width = nbrs.shape[1] + nq
+            cand = np.full((touched.size, width), -1, dtype=np.int32)
+            cand[:, : nbrs.shape[1]] = nbrs[touched]
+            for col, nid in enumerate(new_ids_np):
+                if nid < 0:
+                    continue
+                sel = np.isin(touched, ids_nb[col][ids_nb[col] >= 0])
+                cand[sel, nbrs.shape[1] + col] = nid
+            from .nsg import _gather_dists_chunked
+
+            cd = _gather_dists_chunked(self.space, touched, cand, 2048)
+            pruned = occlusion_prune(self.space, touched, cd, cand, r=r)
+            nbrs[touched] = pruned
+        self.graph = Graph(nbrs=jnp.asarray(nbrs), eps=self.graph.eps,
+                           overlay=self.graph.overlay)
+        return new_ids_np
+
+    def remove(self, ids) -> None:
+        """Tombstone removal (graph_update_job.hpp:91-103)."""
+        self._require_fitted()
+        arr = jnp.atleast_1d(jnp.asarray(ids, dtype=jnp.int32))
+        self.space = self.space.remove(arr)
+        if self.search_space is not self.space:
+            self.search_space = self.search_space.remove(arr)
+
+    def get_data_by_id(self, id_: int) -> np.ndarray:
+        self._require_fitted()
+        return np.asarray(self.space.data[int(id_)].astype(jnp.float32))
+
+    @property
+    def num(self) -> int:
+        return int(self.space.num) if self.space is not None else 0
+
+    @property
+    def capacity(self) -> int:
+        return self.space.capacity if self.space is not None else self.params.capacity
+
+    # ---------------------------------------------------------- persistence
+    def save(self, directory: Union[str, os.PathLike]) -> None:
+        """schema.json + npz blobs — same layout contract as the reference's
+        {index file, raw.data, quant.data} naming (schema.py:58-68)."""
+        self._require_fitted()
+        os.makedirs(directory, exist_ok=True)
+        with open(os.path.join(directory, "schema.json"), "w") as f:
+            f.write(self.params.to_json())
+        np.savez(os.path.join(directory, self.params.data_filename() + ".npz"),
+                 **self.space.save_arrays())
+        if self.graph is not None:
+            np.savez(os.path.join(directory, self.params.index_filename() + ".npz"),
+                     **self.graph.save_arrays())
+        qf = self.params.quant_filename()
+        if qf is not None and self.search_space is not self.space:
+            np.savez(os.path.join(directory, qf + ".npz"),
+                     **self.search_space.save_arrays())
+
+    @classmethod
+    def load(cls, directory: Union[str, os.PathLike]) -> "IndexEngine":
+        with open(os.path.join(directory, "schema.json")) as f:
+            params = IndexParams.from_json(f.read())
+        eng = cls(params)
+        from ..spaces.raw import RawSpace
+
+        with np.load(os.path.join(directory, params.data_filename() + ".npz"),
+                     allow_pickle=False) as z:
+            eng.space = RawSpace.load_arrays(dict(z.items()),
+                                             storage_dtype=params.storage_dtype)
+        gpath = os.path.join(directory, params.index_filename() + ".npz")
+        if os.path.exists(gpath):
+            with np.load(gpath, allow_pickle=False) as z:
+                eng.graph = Graph.load_arrays(dict(z.items()))
+        qf = params.quant_filename()
+        eng.search_space = eng.space
+        if qf is not None:
+            qpath = os.path.join(directory, qf + ".npz")
+            if os.path.exists(qpath):
+                qspace = _make_quant_space(params, eng.space.capacity, eng.space.dim)
+                with np.load(qpath, allow_pickle=False) as z:
+                    eng.search_space = type(qspace).load_arrays(dict(z.items()))
+        eng._fitted = True
+        return eng
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _rerank(space, q: jax.Array, pool: jax.Array, k: int):
+    """Exact-distance rerank of quantized-search candidates
+    (reference: index.hpp:450-488)."""
+    safe = jnp.where(pool >= 0, pool, 0)
+    d = space.gather_dists(q, safe)
+    d = jnp.where(pool >= 0, d, jnp.inf)
+    nd, sel = jax.lax.top_k(-d, k)
+    ids = jnp.take_along_axis(pool, sel, axis=1)
+    return -nd, jnp.where(jnp.isfinite(-nd), ids, -1)

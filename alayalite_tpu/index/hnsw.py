@@ -1,0 +1,137 @@
+"""HNSW-analog builder: batched base layer + sampled overlay hierarchy.
+
+TPU-native re-design of /root/reference/include/index/graph/hnsw/
+{hnswlib.hpp:42-753, hnsw_builder.hpp:43-194}. The reference inserts points
+one at a time under per-node mutexes (greedy descent, beam, heuristic prune,
+reverse-edge shrink); sequential insertion does not map to an accelerator, so
+the build is recast as waves with identical outputs in kind:
+
+  base layer  : kNN graph (batched NN-Descent / exact) → beam-search candidate
+                pools → batched heuristic prune (`get_neighbors_by_heuristic2`
+                semantics via `occlusion_prune`) → reverse edges + re-prune —
+                the same edge rule hnswlib applies, applied to all nodes at
+                once.
+  overlay     : nodes sampled with the same expected layer occupancy
+                (P(level≥l) = R^-l, matching mult_ = 1/ln(R),
+                hnswlib.hpp get_random_level) get per-level kNN graphs built
+                by exact MXU all-pairs (levels are tiny), flattened exactly
+                like HNSWBuilder::build_graph does into Graph + OverlayGraph.
+
+Search-time behavior matches the reference: greedy descent through overlay
+levels picks the base-layer seed (see search.graph_seeds).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .graph import Graph, OverlayLevel
+from .knn import exact_knn
+from .nndescent import build_knn_graph
+from .nsg import _attach_unreached, _batched_search_pool, _gather_dists_chunked
+from .prune import add_reverse_edges, occlusion_prune
+
+log = logging.getLogger("alayalite_tpu")
+
+
+def _build_overlay(space, n: int, r: int, rng: np.random.Generator):
+    """Sample the layer hierarchy and build per-level exact kNN subgraphs."""
+    r2 = max(2, r // 2)
+    members: List[np.ndarray] = []
+    cur = np.arange(n, dtype=np.int32)
+    while cur.size > max(2 * r, 64):
+        size = max(1, cur.size // max(2, r))
+        cur = np.sort(rng.choice(cur, size=size, replace=False))
+        members.append(cur)
+    if not members:
+        return (), None
+    # top level first
+    members = members[::-1]
+    levels = []
+    for li, ids in enumerate(members):
+        vecs = np.asarray(space.data[jnp.asarray(ids)].astype(jnp.float32))
+        k = min(r2, ids.size - 1)
+        if k <= 0:
+            nbrs_local = np.full((ids.size, r2), -1, dtype=np.int32)
+        else:
+            _, knn_local = exact_knn(vecs, k, metric=space.metric)
+            nbrs_local = np.full((ids.size, r2), -1, dtype=np.int32)
+            nbrs_local[:, :k] = knn_local
+        if li + 1 < len(members):
+            below = members[li + 1]
+            down = np.searchsorted(below, ids).astype(np.int32)
+        else:
+            down = ids.astype(np.int32)  # bottom overlay points at global ids
+        levels.append(OverlayLevel(
+            ids=jnp.asarray(ids), nbrs=jnp.asarray(nbrs_local),
+            down=jnp.asarray(down)))
+    return tuple(levels), int(members[0][0])
+
+
+@dataclasses.dataclass
+class HNSWBuilder:
+    """R=max_nbrs (underlay degree), L=ef_construction — the knobs of
+    hnsw_builder.hpp:68-74."""
+
+    r: int = 32
+    l: int = 200
+    knn_k: int = 32
+    alpha: float = 1.0
+    chunk: int = 2048
+    nnd_iters: int = 12
+    use_search_pool: bool = True
+    seed: int = 0
+
+    def build_graph(self, space, n: Optional[int] = None) -> Graph:
+        t0 = time.time()
+        if n is None:
+            n = int(space.num)
+        rng = np.random.default_rng(self.seed)
+
+        knn_d, knn_i = build_knn_graph(
+            space, n, self.knn_k, max_iters=self.nnd_iters, seed=self.seed)
+
+        overlay, top_global = _build_overlay(space, n, self.r, rng)
+        ep = top_global if top_global is not None else 0
+
+        if self.use_search_pool:
+            knn_graph_dev = Graph.from_numpy(knn_i, eps=[ep]).nbrs
+            data = np.asarray(space.data[:n].astype(jnp.float32))
+            ef = min(self.l, 128)
+            pool_d, pool_i = _batched_search_pool(
+                space, knn_graph_dev, np.array([ep]), data, ef=ef,
+                chunk=self.chunk)
+            cand_i = np.concatenate([pool_i, knn_i], axis=1)
+            cand_d = np.concatenate([pool_d, knn_d], axis=1)
+        else:
+            cand_i, cand_d = knn_i, knn_d
+        me = np.arange(n, dtype=np.int32)[:, None]
+        cand_d = np.where(cand_i == me, np.inf, cand_d)
+        cand_i = np.where(cand_i == me, -1, cand_i)
+
+        nbrs = occlusion_prune(space, np.arange(n), cand_d, cand_i,
+                               r=self.r, alpha=self.alpha, chunk=self.chunk)
+
+        rev, touched = add_reverse_edges(nbrs, max_candidates=2 * self.r)
+        t_ids = np.nonzero(touched)[0]
+        if t_ids.size:
+            cat_i = np.concatenate([nbrs[t_ids], rev[t_ids]], axis=1)
+            cat_d = _gather_dists_chunked(space, t_ids, cat_i, self.chunk)
+            cat_d = np.where(cat_i == t_ids[:, None], np.inf, cat_d)
+            cat_i = np.where(cat_i == t_ids[:, None], -1, cat_i)
+            nbrs[t_ids] = occlusion_prune(space, t_ids, cat_d, cat_i,
+                                          r=self.r, alpha=self.alpha,
+                                          chunk=self.chunk)
+
+        nbrs = _attach_unreached(space, nbrs, ep, ef=64, chunk=self.chunk)
+        log.info("HNSW build: n=%d r=%d l=%d levels=%d in %.2fs",
+                 n, self.r, self.l, len(overlay), time.time() - t0)
+        extra = rng.integers(0, n, size=7).astype(np.int32)
+        return Graph.from_numpy(nbrs, eps=np.concatenate([[ep], extra]),
+                                overlay=overlay, capacity=space.capacity)

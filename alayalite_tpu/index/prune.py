@@ -1,0 +1,150 @@
+"""Batched edge selection: the MRNG / heuristic occlusion rule.
+
+TPU-native re-design of the reference's two pruners — NSG's `sync_prune`
+(/root/reference/include/index/graph/nsg/nsg_builder.hpp:288-412) and
+hnswlib's `get_neighbors_by_heuristic2`
+(/root/reference/include/index/graph/hnsw/hnswlib.hpp:291-350). Both apply
+the same rule sequentially per node under locks: walk candidates in ascending
+distance, keep candidate ``c`` unless some already-kept ``s`` satisfies
+``d(s, c) < d(node, c)``.
+
+Here the rule runs for a whole chunk of nodes at once: the candidate↔candidate
+distance tensor ``[C, M, M]`` comes off the MXU in one batched contraction and
+the greedy selection is a ``lax.scan`` over the M candidate ranks, vectorized
+across nodes. ``alpha`` generalizes the rule (alpha=1 == reference; alpha>1 is
+the DiskANN/Vamana relaxation that densifies long edges).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FINF = jnp.float32(jnp.inf)
+
+
+def _sort_dedup(cand_d: jax.Array, cand_i: jax.Array):
+    """Per-row: drop duplicate ids (keep best), sort ascending by distance."""
+    order_d = jnp.argsort(cand_d, axis=1)
+    d = jnp.take_along_axis(cand_d, order_d, axis=1)
+    i = jnp.take_along_axis(cand_i, order_d, axis=1)
+    order_i = jnp.argsort(i, axis=1, stable=True)
+    si = jnp.take_along_axis(i, order_i, axis=1)
+    sd = jnp.take_along_axis(d, order_i, axis=1)
+    prev = jnp.concatenate([jnp.full_like(si[:, :1], -2), si[:, :-1]], axis=1)
+    keep = (si >= 0) & (si != prev)
+    sd = jnp.where(keep, sd, FINF)
+    si = jnp.where(keep, si, -1)
+    order = jnp.argsort(sd, axis=1)
+    return (jnp.take_along_axis(sd, order, axis=1),
+            jnp.take_along_axis(si, order, axis=1))
+
+
+@functools.partial(jax.jit, static_argnames=("r", "alpha"))
+def occlusion_prune_chunk(
+    space,
+    node_vecs: jax.Array,   # [C, D] f32 — the vectors being linked from
+    cand_d: jax.Array,      # [C, M] f32 distances node->candidate (inf pad ok)
+    cand_i: jax.Array,      # [C, M] i32 candidate ids (-1 pad)
+    r: int,
+    alpha: float = 1.0,
+) -> jax.Array:
+    """Select ≤ r edges per node under the occlusion rule. Returns [C, r] i32."""
+    C, M = cand_i.shape
+    cand_d, cand_i = _sort_dedup(cand_d, cand_i)
+
+    # candidate↔candidate distances in one batched MXU contraction
+    safe = jnp.where(cand_i >= 0, cand_i, 0)
+    vecs = space.data[safe].astype(jnp.float32)                   # [C, M, D]
+    dots = jnp.einsum("cmd,cnd->cmn", vecs, vecs,
+                      preferred_element_type=jnp.float32)          # [C, M, M]
+    if space.metric == "ip":
+        pair_d = -dots
+    else:
+        sq = space.sq_norms[safe]                                  # [C, M]
+        pair_d = jnp.maximum(sq[:, :, None] + sq[:, None, :] - 2.0 * dots, 0.0)
+
+    valid = cand_i >= 0
+
+    def step(carry, j):
+        selected, count = carry                                    # [C, M], [C]
+        d_j = cand_d[:, j]                                         # [C]
+        # occluded if any selected t has d(t, j) < alpha * d(node, j)
+        occ = jnp.any(selected & (pair_d[:, :, j] < alpha * d_j[:, None]), axis=1)
+        take = valid[:, j] & jnp.isfinite(d_j) & (~occ) & (count < r)
+        selected = selected.at[:, j].set(take)
+        return (selected, count + take.astype(jnp.int32)), None
+
+    init = (jnp.zeros((C, M), dtype=bool), jnp.zeros((C,), dtype=jnp.int32))
+    (selected, _), _ = jax.lax.scan(step, init, jnp.arange(M))
+
+    # compact selected ids to the left, -1 pad
+    sel_d = jnp.where(selected, cand_d, FINF)
+    _, order = jax.lax.top_k(-sel_d, r)
+    out = jnp.take_along_axis(jnp.where(selected, cand_i, -1), order, axis=1)
+    return out
+
+
+def occlusion_prune(
+    space,
+    node_ids: np.ndarray,    # [N'] nodes being pruned
+    cand_d: np.ndarray,      # [N', M]
+    cand_i: np.ndarray,      # [N', M]
+    r: int,
+    alpha: float = 1.0,
+    chunk: int = 4096,
+) -> np.ndarray:
+    """Chunked host driver for ``occlusion_prune_chunk`` (bounds the [C,M,M]
+    tensor). Returns pruned adjacency [N', r] i32."""
+    node_ids = np.asarray(node_ids, dtype=np.int32)
+    n = node_ids.shape[0]
+    out = np.full((n, r), -1, dtype=np.int32)
+    data = space.data
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        c = hi - lo
+        pad = chunk - c if n > chunk else 0
+        ids = node_ids[lo:hi]
+        cd = jnp.asarray(cand_d[lo:hi])
+        ci = jnp.asarray(cand_i[lo:hi])
+        if pad:
+            cd = jnp.pad(cd, ((0, pad), (0, 0)), constant_values=np.inf)
+            ci = jnp.pad(ci, ((0, pad), (0, 0)), constant_values=-1)
+            ids = np.pad(ids, (0, pad))
+        vecs = data[jnp.asarray(ids)].astype(jnp.float32)
+        res = occlusion_prune_chunk(space, vecs, cd, ci, r=r, alpha=alpha)
+        out[lo:hi] = np.asarray(res)[:c]
+    return out
+
+
+def add_reverse_edges(
+    nbrs: np.ndarray,        # [N, R] current adjacency (-1 pad)
+    max_candidates: int = 64,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Collect reverse-edge candidates per destination node (host side).
+
+    The reference inserts reverse edges under per-node locks
+    (nsg_builder.hpp:414-499, hnswlib.hpp mutually_connect 512-637); here the
+    scatter is a stable numpy group-by, and the caller re-prunes the touched
+    nodes on device. Returns (rev_cand [N, max_candidates] i32, touched mask).
+    """
+    n, r = nbrs.shape
+    src = np.repeat(np.arange(n, dtype=np.int32), r)
+    dst = nbrs.reshape(-1)
+    ok = dst >= 0
+    src, dst = src[ok], dst[ok]
+    order = np.argsort(dst, kind="stable")
+    src, dst = src[order], dst[order]
+    rev = np.full((n, max_candidates), -1, dtype=np.int32)
+    # position of each edge within its destination group
+    uniq, starts = np.unique(dst, return_index=True)
+    pos = np.arange(dst.shape[0]) - np.repeat(starts, np.diff(np.append(starts, dst.shape[0])))
+    keep = pos < max_candidates
+    rev[dst[keep], pos[keep]] = src[keep]
+    touched = np.zeros(n, dtype=bool)
+    touched[uniq] = True
+    return rev, touched

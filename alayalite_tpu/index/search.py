@@ -74,7 +74,8 @@ def _expand(space, q, visited, pool_d, pool_i, pool_c, cand_ids, ef: int):
     return visited, pool_d, pool_i, pool_c
 
 
-@functools.partial(jax.jit, static_argnames=("k", "ef", "max_iters"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "ef", "max_iters", "n_expand"))
 def beam_search(
     space,
     nbrs: jax.Array,       # [C, R] int32 adjacency
@@ -84,14 +85,23 @@ def beam_search(
     ef: int,
     max_iters: int = 0,
     valid: Optional[jax.Array] = None,  # [C] bool result filter (tombstones)
+    n_expand: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (dists [B, k] f32, ids [B, k] int32, -1 where absent)."""
+    """Returns (dists [B, k] f32, ids [B, k] int32, -1 where absent).
+
+    ``n_expand`` > 1 pops the best M unchecked entries per step (CAGRA-style
+    multi-expansion): ~M× fewer while_loop iterations and M·R-wide distance
+    batches that keep the MXU busy, at the cost of a few extra expansions vs
+    the reference's strictly-greedy single pop. Recall at equal ef is
+    unchanged or slightly better (wider frontier).
+    """
     B = queries.shape[0]
     C = nbrs.shape[0]
     L = max(int(ef), int(k))
+    M = max(1, int(n_expand))
     W = -(-C // 32)
     if max_iters <= 0:
-        max_iters = 4 * L + 32
+        max_iters = (4 * L) // M + 32
 
     pool_d = jnp.full((B, L), FINF, dtype=jnp.float32)
     pool_i = jnp.full((B, L), -1, dtype=jnp.int32)
@@ -113,13 +123,14 @@ def beam_search(
     def body(state):
         it, visited, pool_d, pool_i, pool_c = state
         cand = jnp.where(has_next(pool_d, pool_i, pool_c), pool_d, FINF)
-        sel = jnp.argmin(cand, axis=1)                                   # [B]
-        sel_d = jnp.take_along_axis(cand, sel[:, None], axis=1)[:, 0]
-        active = jnp.isfinite(sel_d)                                      # [B]
-        u = jnp.take_along_axis(pool_i, sel[:, None], axis=1)[:, 0]
-        pool_c = pool_c | ((slot_iota == sel[:, None]) & active[:, None])
-        nb = nbrs[jnp.where(active, u, 0)]                                # [B, R]
-        nb = jnp.where(active[:, None], nb, -1)
+        negd, sel = jax.lax.top_k(-cand, M)                         # [B, M]
+        active = jnp.isfinite(-negd)                                # [B, M]
+        u = jnp.take_along_axis(pool_i, sel, axis=1)                # [B, M]
+        pool_c = pool_c | jnp.any(
+            (slot_iota[:, None, :] == sel[:, :, None]) & active[:, :, None],
+            axis=1)
+        nb = nbrs[jnp.where(active, u, 0)]                          # [B, M, R]
+        nb = jnp.where(active[:, :, None], nb, -1).reshape(B, -1)
         visited, pool_d, pool_i, pool_c = _expand(
             space, queries, visited, pool_d, pool_i, pool_c, nb, L)
         return it + 1, visited, pool_d, pool_i, pool_c
@@ -186,3 +197,92 @@ def graph_seeds(graph, space, queries: jax.Array, num_seeds: int = 0) -> jax.Arr
     for lvl in graph.overlay:
         cur = overlay_descend(space, lvl.ids, lvl.nbrs, lvl.down, cur, queries)
     return cur[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "ef", "max_iters"))
+def rabitq_beam_search(
+    space,                 # RaBitQSpace (adjacency lives inside the space)
+    seeds: jax.Array,      # [B, S] int32 seed ids (-1 pad)
+    queries: jax.Array,    # [B, D] f32 (already prep_query'd)
+    k: int,
+    ef: int,
+    max_iters: int = 0,
+    valid: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Beam search driven by RaBitQ *estimated* distances with exact rerank.
+
+    The reference's rabitq_search_solo (graph_search_job.hpp:92-220): pop the
+    node with the best estimated distance, compute its exact distance (the
+    raw vector rides in the node chunk), estimate all 32 neighbors from their
+    1-bit codes in one shot, and key final results by exact distances. Here
+    the fastscan batch becomes one MXU contraction per hop
+    (space.estimate_block) and the final rerank re-scores the whole ef-pool
+    exactly (covering the reference's supplement step).
+    """
+    B = queries.shape[0]
+    C = space.capacity
+    L = max(int(ef), int(k))
+    W = -(-C // 32)
+    if max_iters <= 0:
+        max_iters = 2 * L + 16
+
+    qrot, qsum = space.rotate_queries(queries)
+
+    pool_d = jnp.full((B, L), FINF, dtype=jnp.float32)
+    pool_i = jnp.full((B, L), -1, dtype=jnp.int32)
+    pool_c = jnp.zeros((B, L), dtype=bool)
+    visited = jnp.zeros((B, W), dtype=jnp.uint32)
+
+    # seeds enter with exact distances
+    visited, fresh, seed_s = _visited_probe_and_set(visited, seeds)
+    d0 = space.gather_dists(queries, jnp.where(fresh, seed_s, 0))
+    d0 = jnp.where(fresh, d0, FINF)
+    pool_d, pool_i, pool_c = merge_topk_with_flags(
+        pool_d, pool_i, pool_c,
+        d0, jnp.where(fresh, seed_s, -1), jnp.zeros_like(fresh), L)
+
+    slot_iota = jnp.arange(L, dtype=jnp.int32)[None, :]
+
+    def has_next(pool_d, pool_i, pool_c):
+        return (~pool_c) & (pool_i >= 0) & jnp.isfinite(pool_d)
+
+    def cond(state):
+        it, visited, pool_d, pool_i, pool_c = state
+        return (it < max_iters) & jnp.any(has_next(pool_d, pool_i, pool_c))
+
+    def body(state):
+        it, visited, pool_d, pool_i, pool_c = state
+        cand = jnp.where(has_next(pool_d, pool_i, pool_c), pool_d, FINF)
+        sel = jnp.argmin(cand, axis=1)
+        sel_d = jnp.take_along_axis(cand, sel[:, None], axis=1)[:, 0]
+        active = jnp.isfinite(sel_d)
+        u = jnp.take_along_axis(pool_i, sel[:, None], axis=1)[:, 0]
+        pool_c = pool_c | ((slot_iota == sel[:, None]) & active[:, None])
+        u_safe = jnp.where(active, u, 0)
+        d_center = space.gather_dists(queries, u_safe[:, None])[:, 0]
+        est, nids = space.estimate_block(qrot, qsum, d_center, u_safe)
+        nids = jnp.where(active[:, None], nids, -1)
+        visited, fresh, ids_s = _visited_probe_and_set(visited, nids)
+        # align est with the sorted/deduped id order from the probe
+        order = jnp.argsort(nids, axis=1)
+        est_s = jnp.take_along_axis(est, order, axis=1)
+        est_s = jnp.where(fresh, est_s, FINF)
+        pool_d, pool_i, pool_c = merge_topk_with_flags(
+            pool_d, pool_i, pool_c,
+            est_s, jnp.where(fresh, ids_s, -1), jnp.zeros_like(fresh), L)
+        return it + 1, visited, pool_d, pool_i, pool_c
+
+    state = (jnp.zeros((), jnp.int32), visited, pool_d, pool_i, pool_c)
+    _, visited, pool_d, pool_i, pool_c = jax.lax.while_loop(cond, body, state)
+
+    # exact rerank of the whole pool (rabitq res_pool + supplement semantics)
+    safe = jnp.where(pool_i >= 0, pool_i, 0)
+    d_exact = space.gather_dists(queries, safe)
+    node_ok = pool_i >= 0
+    if valid is not None:
+        node_ok &= valid[jnp.clip(pool_i, 0, C - 1)]
+    d_exact = jnp.where(node_ok, d_exact, FINF)
+    nd, sel = jax.lax.top_k(-d_exact, k)
+    ids = jnp.take_along_axis(pool_i, sel, axis=1)
+    out_d = -nd
+    return out_d, jnp.where(jnp.isfinite(out_d), ids, -1)

@@ -1,0 +1,133 @@
+"""User-facing Index — validated façade over the IndexEngine.
+
+Behavioral parity with /root/reference/python/src/alayalite/index.py:35-231:
+same methods, same validation errors (dimension mismatch, capacity-full
+RuntimeError, ef ≥ topk), same save/load directory contract
+(``url/name/schema.json`` + array blobs). The engine underneath is the
+TPU-native IndexEngine instead of a pybind'd C++ template instance.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .index.engine import IndexEngine
+from .params import IndexParams, fill_none_values
+
+
+def _assert(cond: bool, msg: str) -> None:
+    if not cond:
+        raise ValueError(msg)
+
+
+class Index:
+    def __init__(self, name: str = "default",
+                 params: Optional[IndexParams] = None):
+        self.name = name
+        self.params = params if params is not None else IndexParams()
+        self._engine = IndexEngine(self.params)
+        self._dim: Optional[int] = None
+        self._dtype = np.float32
+
+    # ---- introspection ----
+    def get_params(self) -> IndexParams:
+        return self.params
+
+    def get_dim(self) -> Optional[int]:
+        return self._dim
+
+    def get_dtype(self):
+        return self._dtype
+
+    def get_data_by_id(self, vector_id: int) -> np.ndarray:
+        return self._engine.get_data_by_id(int(vector_id))
+
+    # ---- lifecycle ----
+    def fit(self, vectors, ef_construction: int = 100,
+            num_threads: int = 1) -> None:
+        v = np.asarray(vectors)
+        _assert(v.ndim == 2, "vectors must be 2-D [n, dim]")
+        _assert(v.shape[0] > 0, "vectors must not be empty")
+        self._dtype = v.dtype if v.dtype != np.float64 else np.float32
+        self._engine.fit(v.astype(np.float32, copy=False),
+                         ef_construction=ef_construction,
+                         num_threads=num_threads)
+        self._dim = int(v.shape[1])
+
+    def insert(self, vectors, ef: int = 100):
+        """Insert vector(s); raises RuntimeError at capacity like the
+        reference (index.py:117-123). Returns id (int) for a single vector or
+        an int array for a batch."""
+        v = np.asarray(vectors, dtype=np.float32)
+        single = v.ndim == 1
+        v = np.atleast_2d(v)
+        _assert(self._dim is None or v.shape[1] == self._dim,
+                "Vector dimension must match the index dimension.")
+        ids = self._engine.insert(v, ef=ef)
+        if (ids < 0).any():
+            raise RuntimeError(
+                "Insertion failed: The index is full. "
+                f"(capacity={self._engine.capacity})")
+        return int(ids[0]) if single else ids
+
+    def remove(self, vector_id) -> None:
+        self._engine.remove(np.asarray(vector_id, dtype=np.int32))
+
+    # ---- search ----
+    def search(self, query, topk: int, ef_search: int = 100) -> np.ndarray:
+        q = np.asarray(query, dtype=np.float32)
+        _assert(q.ndim == 1, "query must be 1-D")
+        _assert(self._dim is None or q.shape[0] == self._dim,
+                "Vector dimension must match the index dimension.")
+        _assert(ef_search >= topk, "ef_search must be >= topk")
+        return self._engine.search(q, topk, ef=ef_search)
+
+    def batch_search(self, queries, topk: int, ef_search: int = 100,
+                     num_threads: int = 1) -> np.ndarray:
+        q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        _assert(self._dim is None or q.shape[1] == self._dim,
+                "Vector dimension must match the index dimension.")
+        _assert(ef_search >= topk, "ef_search must be >= topk")
+        return self._engine.batch_search(q, topk, ef=ef_search,
+                                         num_threads=num_threads)
+
+    def batch_search_with_distance(
+        self, queries, topk: int, ef_search: int = 100, num_threads: int = 1,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        _assert(ef_search >= topk, "ef_search must be >= topk")
+        return self._engine.batch_search_with_distance(
+            q, topk, ef=ef_search, num_threads=num_threads)
+
+    # ---- persistence ----
+    def save(self, url) -> dict:
+        """Save blobs directly into ``url`` and return the schema map — the
+        reference contract (index.py:195-208: save(url) writes into url,
+        load(url, name) reads url/name; the caller writes schema.json)."""
+        self._engine.save(url)
+        schema = self.params.to_dict()
+        schema["type"] = "index"
+        schema["dim"] = self._dim
+        import json
+
+        with open(os.path.join(url, "schema.json"), "w") as f:
+            json.dump(schema, f, indent=4)
+        return schema
+
+    @classmethod
+    def load(cls, url, name: str) -> "Index":
+        directory = os.path.join(url, name)
+        if not os.path.exists(directory):
+            raise RuntimeError(f"Index {name} does not exist")
+        engine = IndexEngine.load(directory)
+        idx = cls(name, engine.params)
+        idx._engine = engine
+        idx._dim = engine.space.dim if engine.space is not None else None
+        return idx
+
+
+def create_index(name: str = "default", **kwargs) -> Index:
+    return Index(name, fill_none_values(**kwargs))

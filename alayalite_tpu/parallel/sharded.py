@@ -1,0 +1,120 @@
+"""Multi-chip scaling: database sharding + query data-parallelism over a mesh.
+
+The reference scales with worker threads on one host (Scheduler/Worker,
+include/executor/scheduler.hpp:39-222; `num_threads` through the API,
+python/src/alayalite/index.py:145-162). The TPU-native substitute (SURVEY.md
+§2c) is a `jax.sharding.Mesh` with two axes:
+
+  "dp" — shard the *query batch*: pure data parallelism, zero communication.
+  "db" — shard the *database rows*: every chip scans its slice, then per-shard
+         top-k results are merged with one `all_gather` over ICI (the
+         "context-parallel" of a vector DB).
+
+Everything is expressed with `shard_map` + XLA collectives; no NCCL/MPI
+analog exists or is needed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.distance import pairwise, sqnorms
+
+FINF = jnp.float32(jnp.inf)
+
+
+def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
+              devices=None) -> Mesh:
+    """2-D ("dp", "db") mesh over the first ``n_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if dp is None:
+        dp = 2 if n % 2 == 0 and n > 2 else 1
+    db = n // dp
+    arr = np.array(devices[: dp * db]).reshape(dp, db)
+    return Mesh(arr, ("dp", "db"))
+
+
+def shard_space_by_rows(mesh: Mesh, space):
+    """Place a space pytree with rows split over the "db" axis."""
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            spec = P("db", *([None] * (x.ndim - 1)))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, space)
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+def _local_flat_topk(q, data, x_sq, valid, k: int, metric: str, bf16: bool):
+    """Exact top-k of q against a local database slice (single program)."""
+    d = pairwise(q, data, metric=metric, x_sq=x_sq,
+                 compute_dtype=jnp.bfloat16 if bf16 else None)
+    d = jnp.where(valid[None, :], d, FINF)
+    nd, ni = jax.lax.top_k(-d, k)
+    return -nd, ni
+
+
+def db_sharded_flat_search(mesh: Mesh, space, queries: jax.Array, k: int,
+                           bf16: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k over a row-sharded database.
+
+    queries are sharded over "dp", the database over "db"; each chip scans its
+    slice and one `all_gather` over "db" merges the per-shard winners.
+    Returns replicated-over-db, dp-sharded (dists [Q,k], global ids [Q,k]).
+    """
+    metric = space.metric
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("dp", None), P("db", None), P("db"), P("db")),
+        out_specs=(P("dp", None), P("dp", None)),
+        check_vma=False,
+    )
+    def _search(q, data, x_sq, valid):
+        shard_rows = data.shape[0]
+        d, i = _local_flat_topk(q, data, x_sq, valid, k, metric, bf16)
+        i = i + jax.lax.axis_index("db") * shard_rows
+        dd = jax.lax.all_gather(d, "db", axis=1)      # [Q, ndb, k]
+        ii = jax.lax.all_gather(i, "db", axis=1)
+        dd = dd.reshape(q.shape[0], -1)
+        ii = ii.reshape(q.shape[0], -1)
+        nd, sel = jax.lax.top_k(-dd, k)
+        return -nd, jnp.take_along_axis(ii, sel, axis=1)
+
+    return _search(queries, space.data, space.sq_norms, space.valid)
+
+
+def dp_sharded_beam_search(mesh: Mesh, space, nbrs, seeds, queries,
+                           k: int, ef: int, valid=None):
+    """Graph beam search with the query batch sharded over the full mesh.
+
+    The graph + space are replicated (they fit per-chip for graph indices;
+    row-sharded graph traversal is the "db" axis' job for flat search). This
+    is the TPU analog of one-coroutine-per-query inter-query parallelism.
+    """
+    from ..index.search import beam_search
+
+    qsh = NamedSharding(mesh, P(("dp", "db"), None))
+    queries = jax.device_put(queries, qsh)
+    seeds = jax.device_put(seeds, qsh)
+    space = replicate(mesh, space)
+    nbrs = jax.device_put(nbrs, NamedSharding(mesh, P()))
+    if valid is not None:
+        valid = jax.device_put(valid, NamedSharding(mesh, P()))
+    return beam_search(space, nbrs, seeds, queries, k=k, ef=ef, valid=valid)

@@ -80,6 +80,9 @@ class IndexParams:
     storage_dtype: str = "float32"
     # beam width used at build time (ef_construction analog).
     ef_construction: int = 200
+    # entries popped per lockstep hop (CAGRA-style multi-expansion); 1 ==
+    # strictly-greedy reference semantics, 4 is the TPU latency sweet spot.
+    beam_expand: int = 4
 
     def __post_init__(self) -> None:
         self.index_type = IndexType.parse(self.index_type)
@@ -98,6 +101,7 @@ class IndexParams:
         self.capacity = int(self.capacity)
         self.max_nbrs = int(self.max_nbrs)
         self.ef_construction = int(self.ef_construction)
+        self.beam_expand = max(1, int(self.beam_expand))
 
     # ---- persistence contract (reference: schema.py:58-68) ----
     def index_filename(self) -> str:
@@ -122,6 +126,7 @@ class IndexParams:
             "max_nbrs": self.max_nbrs,
             "storage_dtype": self.storage_dtype,
             "ef_construction": self.ef_construction,
+            "beam_expand": self.beam_expand,
         }
 
     def to_json(self) -> str:

@@ -1,0 +1,4 @@
+from .raw import RawSpace
+from .sq import SQSpace
+
+__all__ = ["RawSpace", "SQSpace"]

@@ -29,6 +29,16 @@ def _load_vecs(path: Union[str, os.PathLike], dtype: np.dtype) -> np.ndarray:
 
 
 def load_fvecs(path: Union[str, os.PathLike]) -> np.ndarray:
+    try:  # native mmap+parallel-strip loader when the toolchain exists
+        from ..native import load_vecs_native
+
+        out = load_vecs_native(str(path))
+        if out is not None:
+            return out
+    except ValueError:
+        raise
+    except Exception:
+        pass
     return _load_vecs(path, np.dtype(np.float32))
 
 

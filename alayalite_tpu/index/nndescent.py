@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-FINF = jnp.float32(jnp.inf)
+FINF = float("inf")  # plain python: jnp constants at module level would init the backend at import
 
 
 def _dedup_sorted_merge(pool_d, pool_i, cand_d, cand_i, k: int):

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-FINF = jnp.float32(jnp.inf)
+FINF = float("inf")  # plain python: jnp constants at module level would init the backend at import
 
 
 def _sort_dedup(cand_d: jax.Array, cand_i: jax.Array):

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..ops.topk import merge_topk_with_flags
 
-FINF = jnp.float32(jnp.inf)
+FINF = float("inf")  # plain python: jnp constants at module level would init the backend at import
 
 
 def _visited_probe_and_set(visited: jax.Array, ids: jax.Array):

@@ -22,8 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-INVALID_ID = jnp.int32(-1)
-FINF = jnp.float32(jnp.inf)
+INVALID_ID = -1  # plain python: jnp constants at module level would init the backend at import
+FINF = float("inf")  # plain python: jnp constants at module level would init the backend at import
 
 
 def _cdiv(a: int, b: int) -> int:

@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.distance import pairwise, sqnorms
 
-FINF = jnp.float32(jnp.inf)
+FINF = float("inf")  # plain python: jnp constants at module level would init the backend at import
 
 
 def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,

@@ -57,9 +57,11 @@ def force_cpu_devices(n: int = 8, reexec: bool = True) -> None:
         devs = jax.devices()
     if devs[0].platform == "cpu" and len(devs) >= n:
         return
-    if reexec and not os.environ.get("_ALAYA_FORCED_CPU"):
-        import sys
+    import sys
 
+    # can't re-exec stdin-driven scripts (python -): argv can't be replayed
+    if (reexec and not os.environ.get("_ALAYA_FORCED_CPU")
+            and sys.argv and sys.argv[0] not in ("-", "", "-c")):
         env = cpu_env(n)
         env["_ALAYA_FORCED_CPU"] = "1"
         os.execve(sys.executable, [sys.executable] + sys.argv, env)

@@ -91,6 +91,11 @@ def _make_quant_space(params: IndexParams, capacity: int, dim: int):
         from ..spaces.rabitq import RaBitQSpace
 
         return RaBitQSpace.create(capacity, dim, metric=params.metric.value)
+    if params.quantization_type is QuantizationType.BSQ8:
+        from ..spaces.bqg import BQGSpace
+
+        return BQGSpace.create(capacity, dim, metric=params.metric.value,
+                               degree=params.max_nbrs)
     raise ValueError(f"unknown quantization {params.quantization_type}")
 
 
@@ -125,12 +130,16 @@ class IndexEngine:
         q = _make_quant_space(self.params, capacity, dim)
         self.search_space = q.fit(v) if q is not None else self.space
 
-        if self.params.quantization_type is QuantizationType.RABITQ:
-            # rabitq implies the QG graph: adjacency + quantized neighbor
-            # blocks are built together (reference: index.hpp:188-195)
+        if self.params.quantization_type in (QuantizationType.RABITQ,
+                                             QuantizationType.BSQ8):
+            # block quantizations imply the QG-style graph: adjacency +
+            # quantized neighbor blocks built together (index.hpp:188-195)
             from .qg import QGBuilder
 
-            builder = QGBuilder(ef=max(self.params.ef_construction, 128))
+            r = (32 if self.params.quantization_type is
+                 QuantizationType.RABITQ else self.params.max_nbrs)
+            builder = QGBuilder(r=r,
+                                ef=max(self.params.ef_construction, 128))
             self.graph, self.search_space = builder.build_graph(
                 self.space, self.search_space, n)
         elif self.params.index_type is IndexType.FLAT:
@@ -157,23 +166,39 @@ class IndexEngine:
         q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         nq = q.shape[0]
         if self.params.index_type is IndexType.FLAT:
-            d, i = exact_topk(q, np.asarray(self.space.data.astype(jnp.float32)),
+            # pass device arrays straight through — no host roundtrip
+            fast = self.params.flat_mode == "fast"
+            d, i = exact_topk(q, self.space.data.astype(jnp.float32),
                               topk, metric=self.space.metric,
-                              valid=np.asarray(self.space.valid))
+                              valid=np.asarray(self.space.valid),
+                              compute_dtype="bfloat16" if fast else "float32",
+                              rerank=max(32, 4 * topk) if fast else 0,
+                              tile_n=65536 if fast else 16384)
             return i, d
 
+        # fixed shape buckets bound compile count; above the largest bucket,
+        # slice into max-bucket-sized pieces (one compiled program, reused)
+        bmax = _BATCH_BUCKETS[-1]
+        if nq > bmax:
+            outs = [self.batch_search_with_distance(q[lo: lo + bmax], topk,
+                                                    ef, 1)
+                    for lo in range(0, nq, bmax)]
+            return (np.concatenate([o[0] for o in outs]),
+                    np.concatenate([o[1] for o in outs]))
         b = _bucket(nq)
         if b != nq:
             q = np.pad(q, ((0, b - nq), (0, 0)))
         qj = self.search_space.prep_query(jnp.asarray(q))
         ef = max(int(ef), int(topk))
-        if self.params.quantization_type is QuantizationType.RABITQ:
-            from .search import rabitq_beam_search
+        if self.params.quantization_type in (QuantizationType.RABITQ,
+                                             QuantizationType.BSQ8):
+            from .search import block_beam_search
 
             seeds = jnp.broadcast_to(self.graph.eps[None, :],
                                      (qj.shape[0], self.graph.eps.shape[0]))
-            d, i = rabitq_beam_search(self.search_space, seeds, qj,
-                                      k=topk, ef=ef, valid=self.space.valid)
+            d, i = block_beam_search(self.search_space, seeds, qj,
+                                     k=topk, ef=ef, valid=self.space.valid,
+                                     n_expand=self.params.beam_expand)
             return np.asarray(i)[:nq], np.asarray(d)[:nq]
         seeds = graph_seeds(self.graph, self.search_space, qj)
         m = self.params.beam_expand
@@ -181,6 +206,11 @@ class IndexEngine:
             d, i = beam_search(self.space, self.graph.nbrs, seeds, qj,
                                k=topk, ef=ef, valid=self.space.valid,
                                n_expand=m)
+            # traversal ran at fast MXU precision; re-score the k returned
+            # ids exactly so reported distances are full f32
+            d, i = _rerank_exact(self.space,
+                                 self.space.prep_query(jnp.asarray(q)), i,
+                                 topk)
         else:
             # quantized traversal + exact rerank of the ef-pool in build space
             d_q, pool = beam_search(self.search_space, self.graph.nbrs, seeds,
@@ -208,9 +238,11 @@ class IndexEngine:
         """Batched online insert (graph_update_job.hpp:66-89). Returns new ids
         (-1 where capacity was exhausted — caller raises, index.py:117-123)."""
         self._require_fitted()
-        if self.params.quantization_type is QuantizationType.RABITQ:
+        if self.params.quantization_type in (QuantizationType.RABITQ,
+                                             QuantizationType.BSQ8):
             raise RuntimeError(
-                "online insert into a rabitq (QG) index is not supported; "
+                "online insert into a block-quantized (QG) index is not "
+                "supported; "
                 "rebuild with fit() (the packed neighbor blocks are "
                 "build-time artifacts)")
         v = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
@@ -325,6 +357,25 @@ def _rerank(space, q: jax.Array, pool: jax.Array, k: int):
     (reference: index.hpp:450-488)."""
     safe = jnp.where(pool >= 0, pool, 0)
     d = space.gather_dists(q, safe)
+    d = jnp.where(pool >= 0, d, jnp.inf)
+    nd, sel = jax.lax.top_k(-d, k)
+    ids = jnp.take_along_axis(pool, sel, axis=1)
+    return -nd, jnp.where(jnp.isfinite(-nd), ids, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _rerank_exact(space, q: jax.Array, pool: jax.Array, k: int):
+    """Exact (HIGHEST-precision) distances for already-selected ids."""
+    safe = jnp.where(pool >= 0, pool, 0)
+    vecs = space.data[safe].astype(jnp.float32)
+    dot = jnp.einsum("bkd,bd->bk", vecs, q,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+    if space.metric == "ip":
+        d = -dot
+    else:
+        q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+        d = jnp.maximum(q_sq + space.sq_norms[safe] - 2.0 * dot, 0.0)
     d = jnp.where(pool >= 0, d, jnp.inf)
     nd, sel = jax.lax.top_k(-d, k)
     ids = jnp.take_along_axis(pool, sel, axis=1)

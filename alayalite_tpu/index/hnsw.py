@@ -83,7 +83,7 @@ class HNSWBuilder:
     l: int = 200
     knn_k: int = 32
     alpha: float = 1.0
-    chunk: int = 2048
+    chunk: int = 4096
     nnd_iters: int = 12
     use_search_pool: bool = True
     seed: int = 0
@@ -96,9 +96,11 @@ class HNSWBuilder:
 
         knn_d, knn_i = build_knn_graph(
             space, n, self.knn_k, max_iters=self.nnd_iters, seed=self.seed)
+        log.info("hnsw: knn graph %.1fs", time.time() - t0)
 
         overlay, top_global = _build_overlay(space, n, self.r, rng)
         ep = top_global if top_global is not None else 0
+        log.info("hnsw: overlay %.1fs", time.time() - t0)
 
         if self.use_search_pool:
             knn_graph_dev = Graph.from_numpy(knn_i, eps=[ep]).nbrs
@@ -115,8 +117,10 @@ class HNSWBuilder:
         cand_d = np.where(cand_i == me, np.inf, cand_d)
         cand_i = np.where(cand_i == me, -1, cand_i)
 
+        log.info("hnsw: candidate pools %.1fs", time.time() - t0)
         nbrs = occlusion_prune(space, np.arange(n), cand_d, cand_i,
                                r=self.r, alpha=self.alpha, chunk=self.chunk)
+        log.info("hnsw: prune %.1fs", time.time() - t0)
 
         rev, touched = add_reverse_edges(nbrs, max_candidates=2 * self.r)
         t_ids = np.nonzero(touched)[0]
@@ -129,6 +133,7 @@ class HNSWBuilder:
                                           r=self.r, alpha=self.alpha,
                                           chunk=self.chunk)
 
+        log.info("hnsw: reverse %.1fs", time.time() - t0)
         nbrs = _attach_unreached(space, nbrs, ep, ef=64, chunk=self.chunk)
         log.info("HNSW build: n=%d r=%d l=%d levels=%d in %.2fs",
                  n, self.r, self.l, len(overlay), time.time() - t0)

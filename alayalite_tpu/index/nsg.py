@@ -124,7 +124,7 @@ class NSGBuilder:
     c: int = 128
     knn_k: int = 32
     alpha: float = 1.0
-    chunk: int = 2048
+    chunk: int = 4096
     nnd_iters: int = 12
     seed: int = 0
 

@@ -62,7 +62,7 @@ class QGBuilder:
     r: int = DEGREE
     ef: int = 128
     knn_k: int = 32
-    chunk: int = 2048
+    chunk: int = 4096
     nnd_iters: int = 12
     seed: int = 0
 
@@ -71,7 +71,8 @@ class QGBuilder:
         t0 = time.time()
         if n is None:
             n = int(raw_space.num)
-        assert self.r == DEGREE, "RaBitQ blocks are fixed at degree 32"
+        assert self.r == getattr(rabitq_space, "degree", DEGREE), (
+            "block degree must match the space's block width")
 
         knn_d, knn_i = build_knn_graph(raw_space, n, self.knn_k,
                                        max_iters=self.nnd_iters,

@@ -74,8 +74,57 @@ def _expand(space, q, visited, pool_d, pool_i, pool_c, cand_ids, ef: int):
     return visited, pool_d, pool_i, pool_c
 
 
+def _ring_fresh(ring: jax.Array, pool_i: jax.Array, cand: jax.Array,
+                pop_ring: Optional[jax.Array] = None):
+    """Visited filtering without scatter or sort (the TPU-fast path).
+
+    The bitmask visited set costs a scatter + sorted probe every hop (~11 ms
+    at B=4096 on v5e — measured, scripts/ablate_beam.py); this replaces it
+    with dense broadcast-compares (<1 ms): a candidate is fresh unless it
+    (a) sits in the recent-visit ring, (b) sits in the pool, (c) duplicates
+    an earlier candidate in the same batch, or (d) was already *expanded*
+    (``pop_ring`` — sized to hold every pop the loop can make, so
+    re-expansion cycles are impossible and termination matches the
+    reference's every-node-expanded-once semantics). Nodes merely *scored*
+    long ago can be re-scored after eviction — wasted work only.
+    """
+    in_ring = jnp.any(cand[:, :, None] == ring[:, None, :], axis=2)
+    in_pool = jnp.any(cand[:, :, None] == pool_i[:, None, :], axis=2)
+    K = cand.shape[1]
+    # dup_earlier[k] = some j < k has the same id (mask[k, j] = j < k)
+    dup = (cand[:, :, None] == cand[:, None, :]) & \
+        jnp.tril(jnp.ones((K, K), dtype=bool), k=-1)[None, :, :]
+    dup_earlier = jnp.any(dup, axis=2)
+    fresh = (cand >= 0) & ~in_ring & ~in_pool & ~dup_earlier
+    if pop_ring is not None:
+        fresh &= ~jnp.any(cand[:, :, None] == pop_ring[:, None, :], axis=2)
+    return fresh
+
+
+def _expand_ring(space, q, ring, pool_d, pool_i, pool_c, cand_ids, ef: int,
+                 pop_ring: Optional[jax.Array] = None):
+    """Ring-based variant of _expand: no scatter, no sort, ids keep their
+    incoming order (so callers can align per-candidate payloads)."""
+    fresh = _ring_fresh(ring, pool_i, cand_ids, pop_ring)
+    safe = jnp.where(fresh, cand_ids, 0)
+    d = space.gather_dists(q, safe)
+    d = jnp.where(fresh, d, FINF)
+    new_i = jnp.where(fresh, cand_ids, -1)
+    pool_d, pool_i, pool_c = merge_topk_with_flags(
+        pool_d, pool_i, pool_c, d, new_i, jnp.zeros_like(fresh), ef)
+    K = cand_ids.shape[1]
+    V = ring.shape[1]
+    if K >= V:
+        ring = cand_ids[:, -V:]
+    else:
+        ring = jnp.concatenate([ring[:, K:], cand_ids], axis=1)
+    return ring, pool_d, pool_i, pool_c
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("k", "ef", "max_iters", "n_expand"))
+                   static_argnames=("k", "ef", "max_iters", "n_expand",
+                                    "visited_mode", "ring_size",
+                                    "track_pops"))
 def beam_search(
     space,
     nbrs: jax.Array,       # [C, R] int32 adjacency
@@ -86,6 +135,9 @@ def beam_search(
     max_iters: int = 0,
     valid: Optional[jax.Array] = None,  # [C] bool result filter (tombstones)
     n_expand: int = 1,
+    visited_mode: str = "ring",
+    ring_size: int = 512,
+    track_pops: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (dists [B, k] f32, ids [B, k] int32, -1 where absent).
 
@@ -94,6 +146,10 @@ def beam_search(
     batches that keep the MXU busy, at the cost of a few extra expansions vs
     the reference's strictly-greedy single pop. Recall at equal ef is
     unchanged or slightly better (wider frontier).
+
+    ``visited_mode``: "ring" (default) — recent-window dedup, scatter-free
+    (see _ring_fresh); "bitmask" — exact per-query bitset (the reference's
+    DynamicBitset semantics), ~2x slower per hop on TPU.
     """
     B = queries.shape[0]
     C = nbrs.shape[0]
@@ -101,15 +157,29 @@ def beam_search(
     M = max(1, int(n_expand))
     W = -(-C // 32)
     if max_iters <= 0:
-        max_iters = (4 * L) // M + 32
+        # measured on v5e (scripts/tune_hops.py): recall saturates by about
+        # L/M + 4 hops; the lockstep batch pays for stragglers, so a tight
+        # cap buys ~1.5x QPS at < 0.005 recall cost
+        max_iters = max(8, L // M + 4)
+    use_ring = visited_mode == "ring"
 
     pool_d = jnp.full((B, L), FINF, dtype=jnp.float32)
     pool_i = jnp.full((B, L), -1, dtype=jnp.int32)
     pool_c = jnp.zeros((B, L), dtype=bool)
-    visited = jnp.zeros((B, W), dtype=jnp.uint32)
-
-    visited, pool_d, pool_i, pool_c = _expand(
-        space, queries, visited, pool_d, pool_i, pool_c, seeds, L)
+    # optional expanded-node memory: forbids re-expansion entirely
+    # (hnswlib checked-bit semantics). Measured on v5e: the extra compare
+    # costs more than the rare re-expansions it saves, so default off.
+    P = -(-(M * max_iters) // 128) * 128 if track_pops else 1
+    if use_ring:
+        visited = jnp.full((B, ring_size), -1, dtype=jnp.int32)
+        pop_ring = jnp.full((B, P), -1, dtype=jnp.int32)
+        visited, pool_d, pool_i, pool_c = _expand_ring(
+            space, queries, visited, pool_d, pool_i, pool_c, seeds, L)
+    else:
+        visited = jnp.zeros((B, W), dtype=jnp.uint32)
+        pop_ring = jnp.zeros((B, 1), jnp.int32)  # unused
+        visited, pool_d, pool_i, pool_c = _expand(
+            space, queries, visited, pool_d, pool_i, pool_c, seeds, L)
 
     slot_iota = jnp.arange(L, dtype=jnp.int32)[None, :]
 
@@ -117,11 +187,11 @@ def beam_search(
         return (~pool_c) & (pool_i >= 0) & jnp.isfinite(pool_d)
 
     def cond(state):
-        it, visited, pool_d, pool_i, pool_c = state
+        it, visited, pop_ring, pool_d, pool_i, pool_c = state
         return (it < max_iters) & jnp.any(has_next(pool_d, pool_i, pool_c))
 
     def body(state):
-        it, visited, pool_d, pool_i, pool_c = state
+        it, visited, pop_ring, pool_d, pool_i, pool_c = state
         cand = jnp.where(has_next(pool_d, pool_i, pool_c), pool_d, FINF)
         negd, sel = jax.lax.top_k(-cand, M)                         # [B, M]
         active = jnp.isfinite(-negd)                                # [B, M]
@@ -131,12 +201,22 @@ def beam_search(
             axis=1)
         nb = nbrs[jnp.where(active, u, 0)]                          # [B, M, R]
         nb = jnp.where(active[:, :, None], nb, -1).reshape(B, -1)
-        visited, pool_d, pool_i, pool_c = _expand(
-            space, queries, visited, pool_d, pool_i, pool_c, nb, L)
-        return it + 1, visited, pool_d, pool_i, pool_c
+        if use_ring:
+            if track_pops:
+                pop_ring = jnp.concatenate(
+                    [pop_ring[:, M:], jnp.where(active, u, -1)], axis=1)
+            visited, pool_d, pool_i, pool_c = _expand_ring(
+                space, queries, visited, pool_d, pool_i, pool_c, nb, L,
+                pop_ring if track_pops else None)
+        else:
+            visited, pool_d, pool_i, pool_c = _expand(
+                space, queries, visited, pool_d, pool_i, pool_c, nb, L)
+        return it + 1, visited, pop_ring, pool_d, pool_i, pool_c
 
-    state = (jnp.zeros((), jnp.int32), visited, pool_d, pool_i, pool_c)
-    _, visited, pool_d, pool_i, pool_c = jax.lax.while_loop(cond, body, state)
+    state = (jnp.zeros((), jnp.int32), visited, pop_ring,
+             pool_d, pool_i, pool_c)
+    _, visited, pop_ring, pool_d, pool_i, pool_c = jax.lax.while_loop(
+        cond, body, state)
 
     # Result extraction: drop tombstoned / absent entries, return best k.
     d = pool_d
@@ -199,47 +279,44 @@ def graph_seeds(graph, space, queries: jax.Array, num_seeds: int = 0) -> jax.Arr
     return cur[:, None]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "ef", "max_iters"))
-def rabitq_beam_search(
-    space,                 # RaBitQSpace (adjacency lives inside the space)
+@functools.partial(jax.jit,
+                   static_argnames=("k", "ef", "max_iters", "n_expand",
+                                    "ring_size"))
+def block_beam_search(
+    space,                 # block space: query_ctx/estimate_for/gather_dists
     seeds: jax.Array,      # [B, S] int32 seed ids (-1 pad)
     queries: jax.Array,    # [B, D] f32 (already prep_query'd)
     k: int,
     ef: int,
     max_iters: int = 0,
     valid: Optional[jax.Array] = None,
+    n_expand: int = 1,
+    ring_size: int = 512,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Beam search driven by RaBitQ *estimated* distances with exact rerank.
-
-    The reference's rabitq_search_solo (graph_search_job.hpp:92-220): pop the
-    node with the best estimated distance, compute its exact distance (the
-    raw vector rides in the node chunk), estimate all 32 neighbors from their
-    1-bit codes in one shot, and key final results by exact distances. Here
-    the fastscan batch becomes one MXU contraction per hop
-    (space.estimate_block) and the final rerank re-scores the whole ef-pool
-    exactly (covering the reference's supplement step).
+    """Beam search over a *block* space (adjacency + quantized neighbor
+    payloads packed per node): RaBitQSpace (1-bit + correction factors — the
+    reference's rabitq_search, graph_search_job.hpp:92-220) or BQGSpace
+    (block-SQ8). One fat gather per popped node replaces R thin ones; the
+    final rerank re-scores the whole ef-pool with exact raw distances
+    (covering the reference's res_pool + supplement semantics).
     """
     B = queries.shape[0]
     C = space.capacity
     L = max(int(ef), int(k))
-    W = -(-C // 32)
+    M = max(1, int(n_expand))
     if max_iters <= 0:
-        max_iters = 2 * L + 16
+        max_iters = max(8, L // M + 4)
 
-    qrot, qsum = space.rotate_queries(queries)
+    ctx = space.query_ctx(queries)
 
     pool_d = jnp.full((B, L), FINF, dtype=jnp.float32)
     pool_i = jnp.full((B, L), -1, dtype=jnp.int32)
     pool_c = jnp.zeros((B, L), dtype=bool)
-    visited = jnp.zeros((B, W), dtype=jnp.uint32)
+    ring = jnp.full((B, ring_size), -1, dtype=jnp.int32)
 
     # seeds enter with exact distances
-    visited, fresh, seed_s = _visited_probe_and_set(visited, seeds)
-    d0 = space.gather_dists(queries, jnp.where(fresh, seed_s, 0))
-    d0 = jnp.where(fresh, d0, FINF)
-    pool_d, pool_i, pool_c = merge_topk_with_flags(
-        pool_d, pool_i, pool_c,
-        d0, jnp.where(fresh, seed_s, -1), jnp.zeros_like(fresh), L)
+    ring, pool_d, pool_i, pool_c = _expand_ring(
+        space, queries, ring, pool_d, pool_i, pool_c, seeds, L)
 
     slot_iota = jnp.arange(L, dtype=jnp.int32)[None, :]
 
@@ -247,35 +324,39 @@ def rabitq_beam_search(
         return (~pool_c) & (pool_i >= 0) & jnp.isfinite(pool_d)
 
     def cond(state):
-        it, visited, pool_d, pool_i, pool_c = state
+        it, ring, pool_d, pool_i, pool_c = state
         return (it < max_iters) & jnp.any(has_next(pool_d, pool_i, pool_c))
 
     def body(state):
-        it, visited, pool_d, pool_i, pool_c = state
+        it, ring, pool_d, pool_i, pool_c = state
         cand = jnp.where(has_next(pool_d, pool_i, pool_c), pool_d, FINF)
-        sel = jnp.argmin(cand, axis=1)
-        sel_d = jnp.take_along_axis(cand, sel[:, None], axis=1)[:, 0]
-        active = jnp.isfinite(sel_d)
-        u = jnp.take_along_axis(pool_i, sel[:, None], axis=1)[:, 0]
-        pool_c = pool_c | ((slot_iota == sel[:, None]) & active[:, None])
+        negd, sel = jax.lax.top_k(-cand, M)                         # [B, M]
+        active = jnp.isfinite(-negd)
+        u = jnp.take_along_axis(pool_i, sel, axis=1)                # [B, M]
+        pool_c = pool_c | jnp.any(
+            (slot_iota[:, None, :] == sel[:, :, None]) & active[:, :, None],
+            axis=1)
         u_safe = jnp.where(active, u, 0)
-        d_center = space.gather_dists(queries, u_safe[:, None])[:, 0]
-        est, nids = space.estimate_block(qrot, qsum, d_center, u_safe)
-        nids = jnp.where(active[:, None], nids, -1)
-        visited, fresh, ids_s = _visited_probe_and_set(visited, nids)
-        # align est with the sorted/deduped id order from the probe
-        order = jnp.argsort(nids, axis=1)
-        est_s = jnp.take_along_axis(est, order, axis=1)
-        est_s = jnp.where(fresh, est_s, FINF)
+        # estimate all M popped nodes' neighbor blocks in one batch
+        est, nids = jax.vmap(space.estimate_for, in_axes=(None, 1),
+                             out_axes=1)(ctx, u_safe)
+        est = est.reshape(B, -1)                                    # [B, M*R]
+        nids = jnp.where(active[:, :, None], nids, -1).reshape(B, -1)
+        # ring probe keeps candidate order, so est stays aligned with nids
+        fresh = _ring_fresh(ring, pool_i, nids)
+        est = jnp.where(fresh, est, FINF)
         pool_d, pool_i, pool_c = merge_topk_with_flags(
             pool_d, pool_i, pool_c,
-            est_s, jnp.where(fresh, ids_s, -1), jnp.zeros_like(fresh), L)
-        return it + 1, visited, pool_d, pool_i, pool_c
+            est, jnp.where(fresh, nids, -1), jnp.zeros_like(fresh), L)
+        K = nids.shape[1]
+        ring = (nids[:, -ring.shape[1]:] if K >= ring.shape[1] else
+                jnp.concatenate([ring[:, K:], nids], axis=1))
+        return it + 1, ring, pool_d, pool_i, pool_c
 
-    state = (jnp.zeros((), jnp.int32), visited, pool_d, pool_i, pool_c)
-    _, visited, pool_d, pool_i, pool_c = jax.lax.while_loop(cond, body, state)
+    state = (jnp.zeros((), jnp.int32), ring, pool_d, pool_i, pool_c)
+    _, ring, pool_d, pool_i, pool_c = jax.lax.while_loop(cond, body, state)
 
-    # exact rerank of the whole pool (rabitq res_pool + supplement semantics)
+    # exact rerank of the whole pool (res_pool + supplement semantics)
     safe = jnp.where(pool_i >= 0, pool_i, 0)
     d_exact = space.gather_dists(queries, safe)
     node_ok = pool_i >= 0
@@ -286,3 +367,12 @@ def rabitq_beam_search(
     ids = jnp.take_along_axis(pool_i, sel, axis=1)
     out_d = -nd
     return out_d, jnp.where(jnp.isfinite(out_d), ids, -1)
+
+
+def rabitq_beam_search(space, seeds, queries, k, ef, max_iters=0, valid=None,
+                       n_expand=1, ring_size=512):
+    """Back-compat alias: RaBitQ search is block_beam_search over the
+    RaBitQSpace protocol."""
+    return block_beam_search(space, seeds, queries, k=k, ef=ef,
+                             max_iters=max_iters, valid=valid,
+                             n_expand=n_expand, ring_size=ring_size)

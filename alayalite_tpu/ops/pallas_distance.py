@@ -89,7 +89,7 @@ def _sq8_tile_kernel(qs_ref, codes_ref, qconst_ref, xsq_ref, out_ref):
     xsq_ref   [TN]     f32  — |x̂|² (precomputed at encode)
     out: d = qconst − 2·(q∘s)·c + |x̂|²
     """
-    cf = codes_ref[:].astype(jnp.bfloat16)
+    cf = (codes_ref[:].astype(jnp.int16) - 128).astype(jnp.bfloat16)
     dot = jax.lax.dot_general(
         qs_ref[:], cf,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -115,8 +115,9 @@ def sq8_pairwise_pallas(
     Q, D = q.shape
     N = codes.shape[0]
     qs = (q * scale[None, :]).astype(jnp.bfloat16)
+    shift = dmin[None, :] + 128.0 * scale[None, :]  # codes centered at 128
     qconst = (jnp.sum(q * q, axis=-1)
-              - 2.0 * jnp.sum(q * dmin[None, :], axis=-1))   # [Q]
+              - 2.0 * jnp.sum(q * shift, axis=-1))   # [Q]
     grid = (_cdiv(Q, tq), _cdiv(N, tn))
     return pl.pallas_call(
         _sq8_tile_kernel,

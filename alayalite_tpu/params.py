@@ -48,6 +48,9 @@ class QuantizationType(str, enum.Enum):
     SQ8 = "sq8"
     SQ4 = "sq4"
     RABITQ = "rabitq"
+    # TPU-native extension: block-SQ8 quantized graph (spaces/bqg.py) —
+    # RaBitQ's packed-neighbor layout with 8-bit codes; the throughput config
+    BSQ8 = "bsq8"
 
     @classmethod
     def parse(cls, v: "QuantizationType | str | None") -> "QuantizationType":
@@ -81,8 +84,11 @@ class IndexParams:
     # beam width used at build time (ef_construction analog).
     ef_construction: int = 200
     # entries popped per lockstep hop (CAGRA-style multi-expansion); 1 ==
-    # strictly-greedy reference semantics, 4 is the TPU latency sweet spot.
-    beam_expand: int = 4
+    # strictly-greedy reference semantics, 8 is the TPU sweet spot (tune_hops.py).
+    beam_expand: int = 8
+    # flat index scan mode: "fast" = bf16 MXU scan + f32 rerank (recall
+    # ≥ 0.999 vs exact, ~8x faster); "exact" = single-pass full precision.
+    flat_mode: str = "fast"
 
     def __post_init__(self) -> None:
         self.index_type = IndexType.parse(self.index_type)
@@ -102,6 +108,8 @@ class IndexParams:
         self.max_nbrs = int(self.max_nbrs)
         self.ef_construction = int(self.ef_construction)
         self.beam_expand = max(1, int(self.beam_expand))
+        if self.flat_mode not in ("fast", "exact"):
+            raise ValueError(f"invalid flat_mode {self.flat_mode!r}")
 
     # ---- persistence contract (reference: schema.py:58-68) ----
     def index_filename(self) -> str:
@@ -127,6 +135,7 @@ class IndexParams:
             "storage_dtype": self.storage_dtype,
             "ef_construction": self.ef_construction,
             "beam_expand": self.beam_expand,
+            "flat_mode": self.flat_mode,
         }
 
     def to_json(self) -> str:

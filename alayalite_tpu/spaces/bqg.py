@@ -1,0 +1,204 @@
+"""Block-SQ8 quantized graph space — the TPU-native flagship layout.
+
+No direct reference analog (this is a TPU-first design, motivated by
+measurement): the per-row cost of HBM gathers on TPU (~12 ns/row regardless
+of row bytes ≤ ~4KB) makes "one thin row per neighbor" traversal
+gather-bound. Borrowing the reference RaBitQ space's *layout* idea
+(/root/reference/include/space/rabitq_space.hpp:63-85 packs each node's
+neighbors' codes beside the node) but with 8-bit scalar quantization instead
+of 1-bit: each graph node owns one fat row [32 neighbor ids ‖ 32×D u8 codes ‖
+32 reconstruction norms], so expanding M nodes costs M fat gathers per query
+per hop instead of M·R thin ones — and the SQ8 estimator is accurate enough
+that recall matches raw traversal (unlike 1-bit RaBitQ estimates, whose
+noise grows with cluster tightness).
+
+Quantization math = SQSpace (per-dim global min/max, spaces/sq.py), distance
+factored for the MXU:  d² = (|q|² − 2 q·m) − 2 (q∘s)·c + |x̂|².
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.distance import normalize_rows
+
+
+@flax.struct.dataclass
+class BQGSpace:
+    data: jax.Array        # [C, D] f32 raw vectors (exact rerank path)
+    sq_norms: jax.Array    # [C] f32
+    dmin: jax.Array        # [D] f32
+    scale: jax.Array       # [D] f32
+    nbr_ids: jax.Array     # [C, R] i32 (-1 pad)
+    nbr_codes: jax.Array   # [C, R, D] u8 — neighbors' SQ8 codes, blocked
+    nbr_xsq: jax.Array     # [C, R] f32 — |x̂|² per neighbor
+    valid: jax.Array       # [C] bool
+    num: jax.Array         # scalar i32
+    metric: str = flax.struct.field(pytree_node=False, default="l2")
+    user_metric: str = flax.struct.field(pytree_node=False, default="l2")
+
+    @property
+    def capacity(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def degree(self) -> int:
+        return self.nbr_ids.shape[1]
+
+    # ---- construction ----
+    @staticmethod
+    def create(capacity: int, dim: int, metric: str = "l2",
+               degree: int = 32) -> "BQGSpace":
+        metric = metric.lower()
+        if metric not in ("l2", "cos"):
+            raise ValueError("bqg supports l2/cos metrics")
+        return BQGSpace(
+            data=jnp.zeros((capacity, dim), dtype=jnp.float32),
+            sq_norms=jnp.zeros((capacity,), dtype=jnp.float32),
+            dmin=jnp.zeros((dim,), dtype=jnp.float32),
+            scale=jnp.ones((dim,), dtype=jnp.float32),
+            nbr_ids=jnp.full((capacity, degree), -1, dtype=jnp.int32),
+            nbr_codes=jnp.zeros((capacity, degree, dim), dtype=jnp.uint8),
+            nbr_xsq=jnp.zeros((capacity, degree), dtype=jnp.float32),
+            valid=jnp.zeros((capacity,), dtype=bool),
+            num=jnp.zeros((), dtype=jnp.int32),
+            metric="l2",
+            user_metric=metric,
+        )
+
+    def prep_query(self, q: jax.Array) -> jax.Array:
+        q = jnp.asarray(q, dtype=jnp.float32)
+        if self.user_metric == "cos":
+            q = normalize_rows(q)
+        return q
+
+    def fit(self, vectors: jax.Array) -> "BQGSpace":
+        v = jnp.asarray(vectors, dtype=jnp.float32)
+        if self.user_metric == "cos":
+            v = normalize_rows(v)
+        n = v.shape[0]
+        dmin = jnp.min(v, axis=0)
+        scale = jnp.maximum((jnp.max(v, axis=0) - dmin) / 255.0, 1e-30)
+        return self.replace(
+            data=self.data.at[:n].set(v),
+            sq_norms=self.sq_norms.at[:n].set(jnp.sum(v * v, axis=-1)),
+            dmin=dmin, scale=scale,
+            valid=self.valid.at[:n].set(True),
+            num=jnp.asarray(n, dtype=jnp.int32),
+        )
+
+    # ---- neighbor blocks ----
+    def update_neighbors(self, nbrs: np.ndarray,
+                         chunk: int = 2048) -> "BQGSpace":
+        n = int(self.num)
+        r = self.degree
+        nbrs = np.asarray(nbrs[:n, :r], dtype=np.int32)
+        if nbrs.shape[1] < r:
+            nbrs = np.pad(nbrs, ((0, 0), (0, r - nbrs.shape[1])),
+                          constant_values=-1)
+        out_c = np.zeros((n, r, self.dim), dtype=np.uint8)
+        out_x = np.zeros((n, r), dtype=np.float32)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            c, xsq = _encode_block(self.data, self.dmin, self.scale,
+                                   jnp.asarray(nbrs[lo:hi]))
+            out_c[lo:hi] = np.asarray(c)
+            out_x[lo:hi] = np.asarray(xsq)
+        return self.replace(
+            nbr_ids=self.nbr_ids.at[:n].set(jnp.asarray(nbrs)),
+            nbr_codes=self.nbr_codes.at[:n].set(jnp.asarray(out_c)),
+            nbr_xsq=self.nbr_xsq.at[:n].set(jnp.asarray(out_x)),
+        )
+
+    # ---- query-side (block-search protocol) ----
+    def query_ctx(self, q: jax.Array):
+        """Per-batch precompute: (q, q∘scale bf16, |q|² − 2·q·(m + 128 s)).
+
+        Codes are centered at 128 in estimate_for (bf16 cancellation — see
+        SQSpace.gather_dists), so the 128·s offset folds in here."""
+        qs = (q * self.scale[None, :]).astype(jnp.bfloat16)
+        shift = self.dmin[None, :] + 128.0 * self.scale[None, :]
+        qconst = (jnp.sum(q * q, axis=-1)
+                  - 2.0 * jnp.sum(q * shift, axis=-1))
+        return (q, qs, qconst)
+
+    def estimate_for(self, ctx, u: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Estimated d² to the R neighbors of popped nodes u [B]."""
+        q, qs, qconst = ctx
+        safe = jnp.clip(u, 0, self.capacity - 1)
+        codes = self.nbr_codes[safe]                       # [B, R, D] u8
+        cf = (codes.astype(jnp.int16) - 128).astype(jnp.bfloat16)
+        dot = jnp.einsum("brd,bd->br", cf, qs,
+                         preferred_element_type=jnp.float32)
+        est = qconst[:, None] - 2.0 * dot + self.nbr_xsq[safe]
+        return jnp.maximum(est, 0.0), self.nbr_ids[safe]
+
+    def gather_dists(self, q: jax.Array, ids: jax.Array) -> jax.Array:
+        """Exact raw-vector distances (seed scoring + final rerank)."""
+        safe = jnp.clip(ids, 0, self.capacity - 1)
+        vecs = self.data[safe]
+        dot = jnp.einsum("bkd,bd->bk", vecs, q,
+                         preferred_element_type=jnp.float32)
+        q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+        return jnp.maximum(q_sq + self.sq_norms[safe] - 2.0 * dot, 0.0)
+
+    def remove(self, ids: jax.Array) -> "BQGSpace":
+        ids = jnp.atleast_1d(jnp.asarray(ids, dtype=jnp.int32))
+        safe = jnp.clip(ids, 0, self.capacity - 1)
+        return self.replace(
+            valid=self.valid.at[safe].set(
+                jnp.where(ids >= 0, False, self.valid[safe])))
+
+    # ---- persistence ----
+    def save_arrays(self) -> dict:
+        return {
+            "data": np.asarray(self.data),
+            "dmin": np.asarray(self.dmin),
+            "scale": np.asarray(self.scale),
+            "nbr_ids": np.asarray(self.nbr_ids),
+            "nbr_codes": np.asarray(self.nbr_codes),
+            "nbr_xsq": np.asarray(self.nbr_xsq),
+            "valid": np.asarray(self.valid),
+            "num": int(self.num),
+            "metric": self.user_metric,
+        }
+
+    @staticmethod
+    def load_arrays(d: dict) -> "BQGSpace":
+        data = np.asarray(d["data"], dtype=np.float32)
+        ids = np.asarray(d["nbr_ids"])
+        sp = BQGSpace.create(data.shape[0], data.shape[1],
+                             metric=str(d["metric"]), degree=ids.shape[1])
+        return sp.replace(
+            data=jnp.asarray(data),
+            sq_norms=jnp.asarray((data * data).sum(-1), dtype=jnp.float32),
+            dmin=jnp.asarray(d["dmin"], dtype=jnp.float32),
+            scale=jnp.asarray(d["scale"], dtype=jnp.float32),
+            nbr_ids=jnp.asarray(ids, dtype=jnp.int32),
+            nbr_codes=jnp.asarray(d["nbr_codes"], dtype=jnp.uint8),
+            nbr_xsq=jnp.asarray(d["nbr_xsq"], dtype=jnp.float32),
+            valid=jnp.asarray(d["valid"], dtype=bool),
+            num=jnp.asarray(int(d["num"]), dtype=jnp.int32),
+        )
+
+
+@jax.jit
+def _encode_block(data: jax.Array, dmin: jax.Array, scale: jax.Array,
+                  nbrs: jax.Array):
+    """SQ8-encode each node's neighbor vectors: [C, R] ids →
+    (codes [C, R, D] u8, |x̂|² [C, R])."""
+    ok = nbrs >= 0
+    vecs = data[jnp.where(ok, nbrs, 0)]                    # [C, R, D]
+    c = jnp.clip(jnp.round((vecs - dmin) / scale), 0, 255)
+    xhat = c * scale + dmin
+    xsq = jnp.where(ok, jnp.sum(xhat * xhat, axis=-1), jnp.inf)
+    return c.astype(jnp.uint8), xsq

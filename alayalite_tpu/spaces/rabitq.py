@@ -263,3 +263,22 @@ def _quantize_block(data: jax.Array, rot: jax.Array, us: jax.Array,
     c_dot_x = jnp.einsum("ckd,cd->ck", xbar, crot)
     f_add = jnp.where(good, jnp.sum(r * r, axis=-1) - f_rescale * c_dot_x, 0.0)
     return bits, f_add, f_rescale
+
+
+# ---- generic block-search protocol (shared with BQGSpace) ----
+def _rabitq_query_ctx(self, q: jax.Array):
+    qrot, qsum = self.rotate_queries(q)
+    return (q, qrot, qsum)
+
+
+def _rabitq_estimate_for(self, ctx, u: jax.Array):
+    """estimate_block with the exact center distance folded in: the popped
+    node's raw vector rides in its block in the reference layout
+    (rabitq_space.hpp load_centroid); here it's one thin gather per pop."""
+    q, qrot, qsum = ctx
+    d_center = self.gather_dists(q, u[:, None])[:, 0]
+    return self.estimate_block(qrot, qsum, d_center, u)
+
+
+RaBitQSpace.query_ctx = _rabitq_query_ctx
+RaBitQSpace.estimate_for = _rabitq_estimate_for

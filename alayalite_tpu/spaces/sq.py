@@ -166,24 +166,33 @@ class SQSpace:
 
     # ---- distances ----
     def gather_dists(self, q: jax.Array, ids: jax.Array) -> jax.Array:
-        """f32 [B, K] asymmetric distances; q [B, D] raw (prep_query'd)."""
+        """f32 [B, K] asymmetric distances; q [B, D] raw (prep_query'd).
+
+        Codes are centered (c − levels/2) before the bf16 contraction and the
+        offset folded into the per-query constant: the uncentered form
+        cancels a large positive dot against q·dmin, amplifying bf16 noise
+        ~levels/2-fold.
+        """
         safe = jnp.clip(ids, 0, self.capacity - 1)
         packed = self.codes[safe]                          # [B, K, dim or dim/2]
         qs = (q * self.scale[None, :]).astype(jnp.bfloat16)
+        half = float((self.levels + 1) // 2)
         if self.bits == 8:
-            cf = packed.astype(jnp.bfloat16)
+            cf = (packed.astype(jnp.int16) - int(half)).astype(jnp.bfloat16)
             dot_c = jnp.einsum("bkd,bd->bk", cf, qs,
                                preferred_element_type=jnp.float32)
         else:
-            lo = (packed & 0x0F).astype(jnp.bfloat16)
-            hi = (packed >> 4).astype(jnp.bfloat16)
+            lo = ((packed & 0x0F).astype(jnp.int8) - int(half)).astype(jnp.bfloat16)
+            hi = ((packed >> 4).astype(jnp.int8) - int(half)).astype(jnp.bfloat16)
             dot_c = (jnp.einsum("bkd,bd->bk", lo, qs[:, 0::2],
                                 preferred_element_type=jnp.float32)
                      + jnp.einsum("bkd,bd->bk", hi,
                                   qs[:, 1::2] if self.dim % 2 == 0
                                   else jnp.pad(qs[:, 1::2], ((0, 0), (0, 1))),
                                   preferred_element_type=jnp.float32))
-        q_dot_m = jnp.sum(q * self.dmin[None, :], axis=-1, keepdims=True)
+        # q·x̂ = (q∘s)·(c − h) + q·(m + h·s)
+        shift = self.dmin[None, :] + half * self.scale[None, :]
+        q_dot_m = jnp.sum(q * shift, axis=-1, keepdims=True)
         q_dot_x = dot_c + q_dot_m                         # [B, K]
         if self.metric == "ip":
             return -q_dot_x

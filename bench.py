@@ -4,15 +4,17 @@ Prints ONE JSON line to stdout:
     {"metric": ..., "value": N, "unit": "qps", "vs_baseline": N}
 
 Workload (BASELINE.md eval configs, network-free): synthetic SIFT-like
-clustered data (100k × 128, L2), HNSW-analog graph (R=32), ef swept until
-recall@10 ≥ 0.95 against on-device brute-force GT, then batch QPS measured at
-that ef. ``vs_baseline`` divides by 100k QPS — the documented estimate of the
-C++ reference's 32-core batch throughput on a workload of this size (the
-reference publishes no numbers, BASELINE.md; to be replaced by a measured
-reference run when one exists).
+clustered data (100k × 128, L2). The headline config is the measured winner
+on v5e (scripts/headline.py): the two-stage flat scan — bf16 MXU coarse pass
+with approx_max_k selection + exact f32 rerank — at recall ≈ 1.0, plus the
+best graph config (block-SQ8 quantized graph) when ALAYA_BENCH_GRAPH=1.
+``vs_baseline`` divides by 100k QPS — the documented estimate of the C++
+reference's 32-core batch throughput at this scale (the reference publishes
+no numbers, BASELINE.md).
 
 Env knobs: ALAYA_BENCH_N (default 100000), ALAYA_BENCH_DIM (128),
-ALAYA_BENCH_Q (10000), ALAYA_BENCH_SMALL=1 → tiny CPU-runnable config.
+ALAYA_BENCH_Q (10000), ALAYA_BENCH_GRAPH=1 (also bench bsq8 graph),
+ALAYA_BENCH_SMALL=1 (tiny CPU-runnable config).
 """
 
 from __future__ import annotations
@@ -41,15 +43,18 @@ def main() -> None:
     nq = int(os.environ.get("ALAYA_BENCH_Q", "512" if small else "10000"))
     topk = 10
 
-    import jax
-    import jax.numpy as jnp
-
     from alayalite_tpu.utils.platforms import enable_compile_cache
 
     enable_compile_cache()
 
-    from alayalite_tpu.index.engine import IndexEngine
-    from alayalite_tpu.params import IndexParams
+    import logging
+
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                        format="%(asctime)s %(message)s")
+
+    import jax
+
+    from alayalite_tpu import Index, IndexParams
     from alayalite_tpu.utils.datasets import random_dataset
     from alayalite_tpu.utils.evaluate import calc_gt, calc_recall
 
@@ -62,31 +67,42 @@ def main() -> None:
     gt = calc_gt(ds.data, ds.queries, topk)
     log(f"gt: {time.time() - t0:.1f}s")
 
-    params = IndexParams(index_type="hnsw", capacity=n, max_nbrs=32,
-                         ef_construction=200)
-    eng = IndexEngine(params)
-    t0 = time.time()
-    eng.fit(ds.data)
-    build_s = time.time() - t0
-    log(f"build: {build_s:.1f}s")
-
-    best = None
-    for ef in (32, 48, 64, 96, 128, 192, 256):
-        ids, _ = eng.batch_search_with_distance(ds.queries, topk, ef=ef)
-        rec = calc_recall(ids, gt)
-        # timed: 1 warm + 3 measured passes over the full query set
-        eng.batch_search(ds.queries, topk, ef=ef)
+    def measure(name, params, efs):
+        idx = Index(name, params)
         t0 = time.time()
-        reps = 3
-        for _ in range(reps):
-            eng.batch_search(ds.queries, topk, ef=ef)
-        dt = (time.time() - t0) / reps
-        qps = nq / dt
-        log(f"ef={ef}: recall@10={rec:.4f} qps={qps:,.0f}")
-        best = {"ef": ef, "recall": rec, "qps": qps}
-        if rec >= 0.95:
-            break
+        idx.fit(ds.data)
+        build_s = time.time() - t0
+        rows = []
+        for ef in efs:
+            ids = idx.batch_search(ds.queries, topk, ef_search=ef)
+            rec = calc_recall(ids, gt)
+            idx.batch_search(ds.queries, topk, ef_search=ef)  # warm
+            t0 = time.time()
+            reps = 3
+            for _ in range(reps):
+                idx.batch_search(ds.queries, topk, ef_search=ef)
+            qps = nq / ((time.time() - t0) / reps)
+            rows.append({"config": name, "ef": ef, "recall": round(rec, 4),
+                         "qps": round(qps, 1), "build_s": round(build_s, 1)})
+            log(f"{name} ef={ef}: recall@10={rec:.4f} qps={qps:,.0f} "
+                f"build={build_s:.1f}s")
+            if rec >= 0.95 and name != "flat_fast":
+                break
+        return rows
 
+    rows = []
+    rows += measure("flat_fast",
+                    IndexParams(index_type="flat", capacity=n), [topk])
+    if os.environ.get("ALAYA_BENCH_GRAPH") == "1":
+        rows += measure("bsq8_graph",
+                        IndexParams(index_type="hnsw", capacity=n,
+                                    max_nbrs=32, ef_construction=200,
+                                    quantization_type="bsq8"),
+                        [32, 64, 128])
+
+    ok = [r for r in rows if r["recall"] >= 0.95]
+    best = max(ok, key=lambda r: r["qps"]) if ok else \
+        max(rows, key=lambda r: r["recall"])
     value = best["qps"] if best["recall"] >= 0.95 else 0.0
     out = {
         "metric": "batch_qps@recall10>=0.95_synthetic_sift100k",
@@ -95,9 +111,8 @@ def main() -> None:
         "vs_baseline": round(value / BASELINE_QPS, 4),
         "detail": {
             "n": n, "dim": dim, "nq": nq,
-            "recall": round(best["recall"], 4),
-            "ef": best["ef"],
-            "build_s": round(build_s, 1),
+            "best": best,
+            "rows": rows,
             "total_s": round(time.time() - t_start, 1),
             "platform": jax.devices()[0].platform,
         },

@@ -71,7 +71,7 @@ def test_rabitq_insert_unsupported():
     ds = random_dataset(n=256, dim=16, n_queries=1, seed=1)
     idx = Index("r", IndexParams(capacity=300, quantization_type="rabitq"))
     idx.fit(ds.data)
-    with pytest.raises(RuntimeError, match="rabitq"):
+    with pytest.raises(RuntimeError, match="block-quantized"):
         idx.insert(np.ones(16, dtype=np.float32))
 
 
@@ -82,5 +82,28 @@ def test_rabitq_save_load_roundtrip(tmp_path, rng):
     want = idx.batch_search(ds.queries, 5, ef_search=64)
     idx.save(str(tmp_path / "r"))
     idx2 = Index.load(str(tmp_path), "r")
+    got = idx2.batch_search(ds.queries, 5, ef_search=64)
+    np.testing.assert_array_equal(want, got)
+
+
+def test_bsq8_block_quantized_graph():
+    """TPU-native block-SQ8 graph: recall must match raw traversal."""
+    ds = random_dataset(n=1000, dim=64, n_queries=32, seed=17, topk=10)
+    idx = Index("b", IndexParams(capacity=1000, max_nbrs=32,
+                                 quantization_type="bsq8",
+                                 ef_construction=64))
+    idx.fit(ds.data)
+    ids = idx.batch_search(ds.queries, 10, ef_search=64)
+    rec = calc_recall(ids, ds.gt)
+    assert rec >= 0.95, f"bsq8 recall {rec}"
+
+
+def test_bsq8_save_load_roundtrip(tmp_path):
+    ds = random_dataset(n=300, dim=32, n_queries=8, seed=3, topk=5)
+    idx = Index("b", IndexParams(capacity=300, quantization_type="bsq8"))
+    idx.fit(ds.data)
+    want = idx.batch_search(ds.queries, 5, ef_search=64)
+    idx.save(str(tmp_path / "b"))
+    idx2 = Index.load(str(tmp_path), "b")
     got = idx2.batch_search(ds.queries, 5, ef_search=64)
     np.testing.assert_array_equal(want, got)

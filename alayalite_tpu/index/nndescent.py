@@ -57,66 +57,128 @@ def _dedup_sorted_merge(pool_d, pool_i, cand_d, cand_i, k: int):
     return -nd, jnp.where(jnp.isfinite(-nd), ni, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("s1", "s2", "s_rev", "n_rand"))
-def _nnd_round(
-    space,
-    knn_d: jax.Array,   # [N, K] f32
-    knn_i: jax.Array,   # [N, K] i32
-    key: jax.Array,
-    s1: int,            # sampled neighbors per node
-    s2: int,            # sampled neighbors-of-neighbors per sampled neighbor
-    s_rev: int,         # reverse-sample width
-    n_rand: int,        # random exploration candidates
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+@functools.partial(jax.jit, static_argnames=("s1", "s_rev"))
+def _nnd_reverse_sample(knn_i: jax.Array, key: jax.Array, s1: int,
+                        s_rev: int) -> Tuple[jax.Array, jax.Array]:
+    """Sample s1 forward edges per node and scatter a bounded reverse-edge
+    table [N, s_rev] (`Nhood::rnew_` analog; collisions drop samples).
+    Returns (mid [N, s1] the sampled forward targets, rev [N, s_rev])."""
     N, K = knn_i.shape
-    k_nb, k_rev, k_slot, k_rand = jax.random.split(key, 4)
-
-    # --- 1. forward expansion: sample s1 of my neighbors, s2 of theirs ---
+    k_nb, k_slot = jax.random.split(key)
     sel1 = jax.random.randint(k_nb, (N, s1), 0, K)
     mid = jnp.take_along_axis(knn_i, sel1, axis=1)               # [N, s1]
-    mid_safe = jnp.where(mid >= 0, mid, 0)
-    their = knn_i[mid_safe]                                      # [N, s1, K]
-    sel2 = jax.random.randint(k_nb, (N, s1, s2), 0, K)
-    hop2 = jnp.take_along_axis(their, sel2, axis=2)              # [N, s1, s2]
-    hop2 = jnp.where(mid[:, :, None] >= 0, hop2, -1).reshape(N, s1 * s2)
-
-    # --- 2. reverse sample: j gets i for sampled edges i->j ---
     src = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, s1))
-    dst = mid_safe
     slot = jax.random.randint(k_slot, (N, s1), 0, s_rev)
     rev = jnp.full((N, s_rev), -1, dtype=jnp.int32)
-    rev = rev.at[dst.reshape(-1), slot.reshape(-1)].set(
+    rev = rev.at[jnp.where(mid >= 0, mid, 0).reshape(-1),
+                 slot.reshape(-1)].set(
         jnp.where(mid >= 0, src, -1).reshape(-1), mode="drop")
+    return mid, rev
 
-    # --- 3. random exploration ---
-    rand = jax.random.randint(k_rand, (N, n_rand), 0, N).astype(jnp.int32)
 
-    cand = jnp.concatenate([hop2, rev, rand], axis=1)            # [N, M]
-    me = jnp.arange(N, dtype=jnp.int32)[:, None]
+@functools.partial(jax.jit, static_argnames=("s2", "n_rand", "chunk"))
+def _nnd_round_chunk(
+    space,
+    knn_d: jax.Array,   # [N, K] f32 (full state)
+    knn_i: jax.Array,   # [N, K] i32
+    mid: jax.Array,     # [N, s1] sampled forward targets
+    rev: jax.Array,     # [N, s_rev] reverse samples
+    key: jax.Array,
+    lo: jax.Array,      # chunk start (dynamic)
+    s2: int,
+    n_rand: int,
+    chunk: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One NN-Descent join round for nodes [lo, lo+chunk): candidates =
+    sampled neighbors-of-neighbors ∪ reverse samples ∪ random, scored with
+    one gather+MXU batch, merged into the chunk's kNN rows."""
+    N, K = knn_i.shape
+    k_nb, k_rand = jax.random.split(key)
+    mid_c = jax.lax.dynamic_slice_in_dim(mid, lo, chunk)         # [C, s1]
+    rev_c = jax.lax.dynamic_slice_in_dim(rev, lo, chunk)
+    kd_c = jax.lax.dynamic_slice_in_dim(knn_d, lo, chunk)
+    ki_c = jax.lax.dynamic_slice_in_dim(knn_i, lo, chunk)
+    C, s1 = mid_c.shape
+
+    their = knn_i[jnp.where(mid_c >= 0, mid_c, 0)]               # [C, s1, K]
+    sel2 = jax.random.randint(k_nb, (C, s1, s2), 0, K)
+    hop2 = jnp.take_along_axis(their, sel2, axis=2)              # [C, s1, s2]
+    hop2 = jnp.where(mid_c[:, :, None] >= 0, hop2, -1).reshape(C, s1 * s2)
+    rand = jax.random.randint(k_rand, (C, n_rand), 0, N).astype(jnp.int32)
+
+    cand = jnp.concatenate([hop2, rev_c, rand], axis=1)          # [C, M]
+    me = lo + jnp.arange(C, dtype=jnp.int32)[:, None]
     cand = jnp.where(cand == me, -1, cand)
 
-    # --- 4. batched distances node->candidates ---
     safe = jnp.where(cand >= 0, cand, 0)
-    qvecs = space.data[:N].astype(jnp.float32)                   # queries = all nodes
+    qvecs = jax.lax.dynamic_slice_in_dim(space.data, lo, chunk
+                                         ).astype(jnp.float32)
     d = space.gather_dists(qvecs, safe)
     d = jnp.where(cand >= 0, d, FINF)
 
-    new_d, new_i = _dedup_sorted_merge(knn_d, knn_i, d, cand, K)
-    changed = jnp.sum(new_i != knn_i)
-    return new_d, new_i, changed
+    new_d, new_i = _dedup_sorted_merge(kd_c, ki_c, d, cand, K)
+    changed = jnp.sum(new_i != ki_c)
+    knn_d = jax.lax.dynamic_update_slice_in_dim(knn_d, new_d, lo, axis=0)
+    knn_i = jax.lax.dynamic_update_slice_in_dim(knn_i, new_i, lo, axis=0)
+    return knn_d, knn_i, changed
 
 
-def _init_random_knn(space, n: int, k: int, seed: int):
-    key = jax.random.PRNGKey(seed)
-    cand = jax.random.randint(key, (n, k), 0, n).astype(jnp.int32)
-    me = jnp.arange(n, dtype=jnp.int32)[:, None]
+def _nnd_round(space, knn_d, knn_i, key, s1: int, s2: int, s_rev: int,
+               n_rand: int, chunk: int = 0):
+    """One full NN-Descent round, chunked over node ranges so the gather
+    stays within HBM (the [C, M, D] candidate-vector tensor is the limit)."""
+    N = knn_i.shape[0]
+    if chunk <= 0 or chunk > N:
+        chunk = N
+    key, sub = jax.random.split(key)
+    mid, rev = _nnd_reverse_sample(knn_i, sub, s1=s1, s_rev=s_rev)
+    changed = 0
+    for lo in range(0, N - chunk + 1, chunk):
+        key, sub = jax.random.split(key)
+        knn_d, knn_i, c = _nnd_round_chunk(
+            space, knn_d, knn_i, mid, rev, sub,
+            jnp.asarray(lo, dtype=jnp.int32), s2=s2, n_rand=n_rand,
+            chunk=chunk)
+        changed += int(c)
+    rem = N % chunk
+    if rem:
+        key, sub = jax.random.split(key)
+        knn_d, knn_i, c = _nnd_round_chunk(
+            space, knn_d, knn_i, mid, rev, sub,
+            jnp.asarray(N - chunk, dtype=jnp.int32), s2=s2, n_rand=n_rand,
+            chunk=chunk)  # overlapping tail chunk: re-merges are harmless
+        changed += int(c)
+    return knn_d, knn_i, changed
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def _init_chunk(space, key, lo, n: int, k: int, chunk: int):
+    cand = jax.random.randint(key, (chunk, k), 0, n).astype(jnp.int32)
+    me = lo + jnp.arange(chunk, dtype=jnp.int32)[:, None]
     cand = jnp.where(cand == me, (cand + 1) % n, cand)
-    q = space.data[:n].astype(jnp.float32)
+    q = jax.lax.dynamic_slice_in_dim(space.data, lo, chunk).astype(jnp.float32)
     d = space.gather_dists(q, cand)
-    # dedup within the random init
-    pd = jnp.full((n, k), FINF, dtype=jnp.float32)
-    pi = jnp.full((n, k), -1, dtype=jnp.int32)
-    return _dedup_sorted_merge(pd, pi, d, cand, k)[:2]
+    pd = jnp.full((chunk, k), FINF, dtype=jnp.float32)
+    pi = jnp.full((chunk, k), -1, dtype=jnp.int32)
+    return _dedup_sorted_merge(pd, pi, d, cand, k)
+
+
+def _init_random_knn(space, n: int, k: int, seed: int, chunk: int = 0):
+    key = jax.random.PRNGKey(seed)
+    if chunk <= 0 or chunk > n:
+        chunk = n
+    kd = jnp.zeros((n, k), dtype=jnp.float32)
+    ki = jnp.zeros((n, k), dtype=jnp.int32)
+    lo = 0
+    while lo < n:
+        start = min(lo, n - chunk)
+        key, sub = jax.random.split(key)
+        d, i = _init_chunk(space, sub, jnp.asarray(start, jnp.int32),
+                           n=n, k=k, chunk=chunk)
+        kd = jax.lax.dynamic_update_slice_in_dim(kd, d, start, axis=0)
+        ki = jax.lax.dynamic_update_slice_in_dim(ki, i, start, axis=0)
+        lo += chunk
+    return kd, ki
 
 
 def build_knn_graph(
@@ -128,6 +190,7 @@ def build_knn_graph(
     sample_rate: float = 0.5,
     min_update_frac: float = 0.001,
     exact_threshold: int = 4096,
+    chunk: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Approximate kNN graph of the first ``n`` valid slots of ``space``.
 
@@ -144,14 +207,19 @@ def build_knn_graph(
     s2 = max(4, int(k * sample_rate) // 2)
     s_rev = max(8, k // 2)
     n_rand = 4
+    if chunk <= 0:
+        # bound the [chunk, ~s1·s2+s_rev, D] gather tensor to ~2.5 GB
+        dim = space.data.shape[1]
+        m_width = s1 * s2 + s_rev + n_rand
+        chunk = min(n, max(8192, int(2.5e9 / (m_width * dim * 4))))
 
-    knn_d, knn_i = _init_random_knn(space, n, k, seed)
+    knn_d, knn_i = _init_random_knn(space, n, k, seed, chunk=chunk)
     key = jax.random.PRNGKey(seed + 1)
     for it in range(max_iters):
         key, sub = jax.random.split(key)
         knn_d, knn_i, changed = _nnd_round(
-            space, knn_d, knn_i, sub, s1=s1, s2=s2, s_rev=s_rev, n_rand=n_rand)
-        c = int(changed)
-        if c <= min_update_frac * n * k:
+            space, knn_d, knn_i, sub, s1=s1, s2=s2, s_rev=s_rev,
+            n_rand=n_rand, chunk=chunk)
+        if changed <= min_update_frac * n * k:
             break
     return np.asarray(knn_d), np.asarray(knn_i)

@@ -35,23 +35,17 @@ log = logging.getLogger("alayalite_tpu")
 def _fill_degree(nbrs: np.ndarray, cand_i: np.ndarray,
                  cand_d: np.ndarray, r: int) -> np.ndarray:
     """Pad each row to exactly ``r`` edges with the nearest unused candidates
-    (angle_based_supplement's effect: packed blocks need full degree)."""
+    (angle_based_supplement's effect: packed blocks need full degree).
+    Vectorized keep-first dedup of [pruned edges ‖ distance-sorted
+    candidates] (same trick as fusion._union_rows)."""
+    from .fusion import _union_rows
+
     n = nbrs.shape[0]
     order = np.argsort(cand_d, axis=1)
-    cand_sorted = np.take_along_axis(cand_i, order, axis=1)
-    out = np.full((n, r), -1, dtype=np.int32)
-    for i in range(n):
-        row = [x for x in nbrs[i] if x >= 0]
-        have = set(row)
-        have.add(i)
-        for c in cand_sorted[i]:
-            if len(row) >= r:
-                break
-            if c >= 0 and c not in have:
-                row.append(c)
-                have.add(c)
-        out[i, : len(row)] = row
-    return out
+    cand_sorted = np.take_along_axis(cand_i, order, axis=1).astype(np.int32)
+    me = np.arange(n, dtype=np.int32)[:, None]
+    cand_sorted = np.where(cand_sorted == me, -1, cand_sorted)
+    return _union_rows(nbrs, cand_sorted, r)
 
 
 @dataclasses.dataclass

@@ -1,4 +1,5 @@
 from .sharded import (
+    ShardedFlatIndex,
     db_sharded_flat_search,
     dp_sharded_beam_search,
     make_mesh,
@@ -6,6 +7,7 @@ from .sharded import (
 )
 
 __all__ = [
+    "ShardedFlatIndex",
     "db_sharded_flat_search",
     "dp_sharded_beam_search",
     "make_mesh",

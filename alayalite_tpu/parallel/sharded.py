@@ -118,3 +118,43 @@ def dp_sharded_beam_search(mesh: Mesh, space, nbrs, seeds, queries,
     if valid is not None:
         valid = jax.device_put(valid, NamedSharding(mesh, P()))
     return beam_search(space, nbrs, seeds, queries, k=k, ef=ef, valid=valid)
+
+
+class ShardedFlatIndex:
+    """User-facing multi-chip flat index: database rows sharded over the
+    mesh's "db" axis, exact (or bf16+rerank) search with an ICI all_gather
+    top-k merge. The multi-chip substitute for the reference's num_threads
+    scaling — capacity and bandwidth scale with the mesh.
+    """
+
+    def __init__(self, mesh: Optional[Mesh] = None, metric: str = "l2",
+                 bf16: bool = True):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.metric = metric.lower()
+        self.bf16 = bf16
+        self.space = None
+
+    def fit(self, vectors: np.ndarray) -> None:
+        from ..spaces.raw import RawSpace
+
+        v = np.asarray(vectors, dtype=np.float32)
+        n, dim = v.shape
+        ndb = self.mesh.shape["db"]
+        cap = -(-n // ndb) * ndb  # row-shardable capacity
+        space = RawSpace.create(cap, dim, metric=self.metric).fit(v)
+        self.space = shard_space_by_rows(self.mesh, space)
+        self._n = n
+
+    def batch_search(self, queries: np.ndarray, topk: int,
+                     ef_search: int = 0) -> np.ndarray:
+        ids, _ = self.batch_search_with_distance(queries, topk, ef_search)
+        return ids
+
+    def batch_search_with_distance(self, queries: np.ndarray, topk: int,
+                                   ef_search: int = 0):
+        del ef_search  # exact search has no beam knob; kept for API parity
+        q = self.space.prep_query(jnp.asarray(np.atleast_2d(
+            np.asarray(queries, dtype=np.float32))))
+        d, i = db_sharded_flat_search(self.mesh, self.space, q, topk,
+                                      bf16=self.bf16)
+        return np.asarray(i), np.asarray(d)

@@ -31,6 +31,7 @@ def calc_gt(
     topk: int,
     metric: str = "l2",
     deleted: Optional[Iterable[int]] = None,
+    fast: bool = False,
 ) -> np.ndarray:
     """Brute-force exact top-k ids (reference: utils.py:94-105, evaluate.hpp:30-62).
 
@@ -46,5 +47,12 @@ def calc_gt(
 
     from ..ops.distance import exact_topk  # local import: keep utils importable sans jax
 
-    _, ids = exact_topk(queries, data, topk, metric=metric, valid=valid)
+    if fast:
+        # bf16 coarse + wide exact rerank: GT accuracy ~0.999, ~20x faster —
+        # for million-scale sweeps where exact f32 GT takes tens of minutes
+        _, ids = exact_topk(queries, data, topk, metric=metric, valid=valid,
+                            compute_dtype="bfloat16",
+                            rerank=max(256, 16 * topk), tile_n=65536)
+    else:
+        _, ids = exact_topk(queries, data, topk, metric=metric, valid=valid)
     return np.asarray(ids)

@@ -1,0 +1,46 @@
+"""NN-Descent graph quality — analog of the reference's knng tests
+(nndescent builds must converge to a high-recall kNN graph)."""
+
+import numpy as np
+
+from alayalite_tpu.index.knn import exact_knn
+from alayalite_tpu.index.nndescent import build_knn_graph
+from alayalite_tpu.spaces.raw import RawSpace
+from alayalite_tpu.utils.datasets import random_dataset
+
+
+def test_nndescent_converges_to_exact_knn():
+    """At builder-scale sampling (k=32 → s1=16, s2=8) the rounds converge
+    quickly; tiny k converges too but needs more rounds (documented)."""
+    ds = random_dataset(n=6000, dim=24, n_queries=0, seed=9)
+    space = RawSpace.create(6000, 24).fit(ds.data)
+    k = 32
+    _, approx = build_knn_graph(space, 6000, k, max_iters=16,
+                                exact_threshold=1000)  # force the nnd path
+    _, exact = exact_knn(ds.data, k)
+    hits = sum(len(set(approx[i].tolist()) & set(exact[i].tolist()))
+               for i in range(6000))
+    recall = hits / (6000 * k)
+    assert recall >= 0.85, f"knn-graph recall {recall}"
+
+
+def test_nndescent_chunked_matches_unchunked_shape():
+    ds = random_dataset(n=5000, dim=16, n_queries=0, seed=2)
+    space = RawSpace.create(5000, 16).fit(ds.data)
+    d, i = build_knn_graph(space, 5000, 8, max_iters=4, exact_threshold=100)
+    assert i.shape == (5000, 8)
+    assert (i != np.arange(5000)[:, None]).all()  # never self
+    assert (np.diff(d, axis=1) >= -1e-5).all()     # sorted ascending
+
+
+def test_nndescent_multi_chunk_rounds():
+    """Chunked rounds (the 1M-scale path) must match single-chunk quality."""
+    ds = random_dataset(n=5000, dim=16, n_queries=0, seed=4)
+    space = RawSpace.create(5000, 16).fit(ds.data)
+    k = 16
+    _, multi = build_knn_graph(space, 5000, k, max_iters=12,
+                               exact_threshold=100, chunk=1024)  # 5 chunks
+    _, exact = exact_knn(ds.data, k)
+    hits = sum(len(set(multi[i].tolist()) & set(exact[i].tolist()))
+               for i in range(5000))
+    assert hits / (5000 * k) >= 0.8, hits / (5000 * k)

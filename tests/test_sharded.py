@@ -50,3 +50,14 @@ def test_dp_sharded_beam_search_recall():
                                     valid=space.valid)
     rec = calc_recall(np.asarray(ids), ds.gt)
     assert rec >= 0.85, f"recall {rec}"
+
+
+def test_sharded_flat_index_class():
+    from alayalite_tpu.parallel.sharded import ShardedFlatIndex
+
+    ds = random_dataset(n=1000, dim=16, n_queries=32, seed=6, topk=10)
+    idx = ShardedFlatIndex(make_mesh(8), bf16=False)
+    idx.fit(ds.data)
+    ids, dists = idx.batch_search_with_distance(ds.queries, 10)
+    assert calc_recall(ids, ds.gt) == 1.0
+    assert (np.diff(dists, axis=1) >= -1e-5).all()

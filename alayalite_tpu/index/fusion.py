@@ -44,7 +44,7 @@ def _union_rows(a: np.ndarray, b: np.ndarray, width: int) -> np.ndarray:
 class FusionGraphBuilder:
     r: int = 32
     l: int = 200
-    chunk: int = 2048
+    chunk: int = 4096
     seed: int = 0
 
     def build_graph(self, space, n: Optional[int] = None) -> Graph:

@@ -22,11 +22,15 @@ Convergence is tracked by the number of changed entries per round
 from __future__ import annotations
 
 import functools
+import logging
+import time
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+log = logging.getLogger("alayalite_tpu")
 
 FINF = float("inf")  # plain python: jnp constants at module level would init the backend at import
 
@@ -213,6 +217,7 @@ def build_knn_graph(
         m_width = s1 * s2 + s_rev + n_rand
         chunk = min(n, max(8192, int(2.5e9 / (m_width * dim * 4))))
 
+    t0 = time.time()
     knn_d, knn_i = _init_random_knn(space, n, k, seed, chunk=chunk)
     key = jax.random.PRNGKey(seed + 1)
     for it in range(max_iters):
@@ -220,6 +225,8 @@ def build_knn_graph(
         knn_d, knn_i, changed = _nnd_round(
             space, knn_d, knn_i, sub, s1=s1, s2=s2, s_rev=s_rev,
             n_rand=n_rand, chunk=chunk)
+        log.info("nndescent round %d: changed=%d (%.1fs)", it, changed,
+                 time.time() - t0)
         if changed <= min_update_frac * n * k:
             break
     return np.asarray(knn_d), np.asarray(knn_i)

@@ -1,0 +1,193 @@
+"""Device-resident builder phases.
+
+The graph builders are host-orchestrated but every heavy intermediate stays
+on device: through a TPU tunnel, host↔device transfers run at pipe speed,
+and the candidate pools / pairwise prunes at 1M scale are gigabytes. Phases
+accumulate into donated device buffers; the host only sees the final
+adjacency (one ~N·R·4-byte download for the BFS repair).
+
+Phase inventory (all chunked to bound the [chunk, M, D] tensors):
+  search_pool_dev   — lockstep beam pools for every node's own vector
+  prune_all_dev     — MRNG occlusion prune of [pool ∪ kNN] candidates
+  reverse_edges_dev — bounded reverse-edge table via random-slot scatter
+                      (reservoir semantics like the reference's bounded
+                      insert under locks, nsg_builder.hpp:414-499)
+  reprune_with_reverse_dev — re-prune every node with [edges ∪ reverse]
+  fill_degree_dev   — pad rows to exactly r with nearest unused candidates
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .prune import occlusion_prune_chunk
+from .search import beam_search
+
+log = logging.getLogger("alayalite_tpu")
+FINF = float("inf")
+
+
+def _chunks(n: int, chunk: int):
+    """Chunk starts covering [0, n) with a possibly-overlapping tail."""
+    chunk = min(chunk, n)
+    starts = list(range(0, n - chunk + 1, chunk))
+    if n % chunk and (not starts or starts[-1] + chunk < n):
+        starts.append(n - chunk)
+    return starts, chunk
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("chunk",))
+def _write2(buf_d, buf_i, d, i, lo, chunk: int):
+    return (jax.lax.dynamic_update_slice_in_dim(buf_d, d, lo, 0),
+            jax.lax.dynamic_update_slice_in_dim(buf_i, i, lo, 0))
+
+
+def search_pool_dev(space, nbrs_dev: jax.Array, eps: np.ndarray, ef: int,
+                    n: int, chunk: int = 4096, n_rand_seeds: int = 16,
+                    seed: int = 0) -> Tuple[jax.Array, jax.Array]:
+    """Beam-search pool for each of the first n nodes' own vectors.
+    Returns device (pool_d [n, ef], pool_i [n, ef])."""
+    rng = np.random.default_rng(seed)
+    eps = np.asarray(eps, dtype=np.int32)
+    pool_d = jnp.zeros((n, ef), dtype=jnp.float32)
+    pool_i = jnp.zeros((n, ef), dtype=jnp.int32)
+    starts, chunk = _chunks(n, chunk)
+    for idx, lo in enumerate(starts):
+        qj = jax.lax.dynamic_slice_in_dim(space.data, lo, chunk
+                                          ).astype(jnp.float32)
+        rand = rng.integers(0, n, size=(chunk, n_rand_seeds))
+        seeds_np = np.concatenate(
+            [np.broadcast_to(eps[None, :], (chunk, eps.shape[0])), rand],
+            axis=1).astype(np.int32)
+        d, i = beam_search(space, nbrs_dev, jnp.asarray(seeds_np), qj,
+                           k=ef, ef=ef)
+        pool_d, pool_i = _write2(pool_d, pool_i, d, i,
+                                 jnp.asarray(lo, jnp.int32), chunk=chunk)
+        if idx % 50 == 49:
+            log.info("search pool: %d/%d", lo + chunk, n)
+    return pool_d, pool_i
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("r", "alpha", "chunk"))
+def _prune_chunk_into(out_buf, space, cand_d, cand_i, lo, r: int,
+                      alpha: float, chunk: int):
+    cd = jax.lax.dynamic_slice_in_dim(cand_d, lo, chunk)
+    ci = jax.lax.dynamic_slice_in_dim(cand_i, lo, chunk)
+    vecs = jax.lax.dynamic_slice_in_dim(space.data, lo, chunk
+                                        ).astype(jnp.float32)
+    # drop self-edges
+    me = lo + jnp.arange(chunk, dtype=jnp.int32)[:, None]
+    cd = jnp.where(ci == me, FINF, cd)
+    ci = jnp.where(ci == me, -1, ci)
+    res = occlusion_prune_chunk(space, vecs, cd, ci, r=r, alpha=alpha)
+    return jax.lax.dynamic_update_slice_in_dim(out_buf, res, lo, 0)
+
+
+def prune_all_dev(space, cand_d: jax.Array, cand_i: jax.Array, r: int,
+                  alpha: float = 1.0, chunk: int = 4096) -> jax.Array:
+    """Occlusion-prune every node's candidate row (device in/out)."""
+    n = cand_i.shape[0]
+    out = jnp.zeros((n, r), dtype=jnp.int32)
+    starts, chunk = _chunks(n, chunk)
+    for lo in starts:
+        out = _prune_chunk_into(out, space, cand_d, cand_i,
+                                jnp.asarray(lo, jnp.int32), r=r, alpha=alpha,
+                                chunk=chunk)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
+def reverse_edges_dev(nbrs: jax.Array, key: jax.Array,
+                      width: int) -> jax.Array:
+    """Bounded reverse-edge table [n, width] via random-slot scatter.
+    Collisions drop entries — reservoir semantics; the reference's bounded
+    locked insertion drops overflow the same way."""
+    n, r = nbrs.shape
+    src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, r))
+    slot = jax.random.randint(key, (n, r), 0, width)
+    rev = jnp.full((n, width), -1, dtype=jnp.int32)
+    ok = nbrs >= 0
+    rev = rev.at[jnp.where(ok, nbrs, 0).reshape(-1), slot.reshape(-1)].set(
+        jnp.where(ok, src, -1).reshape(-1), mode="drop")
+    return rev
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("r", "alpha", "chunk"))
+def _reprune_chunk_into(out_buf, space, nbrs, rev, lo, r: int, alpha: float,
+                        chunk: int):
+    nb = jax.lax.dynamic_slice_in_dim(nbrs, lo, chunk)
+    rv = jax.lax.dynamic_slice_in_dim(rev, lo, chunk)
+    ci = jnp.concatenate([nb, rv], axis=1)
+    me = lo + jnp.arange(chunk, dtype=jnp.int32)[:, None]
+    ci = jnp.where(ci == me, -1, ci)
+    vecs = jax.lax.dynamic_slice_in_dim(space.data, lo, chunk
+                                        ).astype(jnp.float32)
+    safe = jnp.where(ci >= 0, ci, 0)
+    cd = space.gather_dists(vecs, safe)
+    cd = jnp.where(ci >= 0, cd, FINF)
+    res = occlusion_prune_chunk(space, vecs, cd, ci, r=r, alpha=alpha)
+    return jax.lax.dynamic_update_slice_in_dim(out_buf, res, lo, 0)
+
+
+def reprune_with_reverse_dev(space, nbrs: jax.Array, rev: jax.Array, r: int,
+                             alpha: float = 1.0,
+                             chunk: int = 4096) -> jax.Array:
+    """Re-prune every node over [current edges ∪ reverse candidates]."""
+    n = nbrs.shape[0]
+    out = jnp.zeros((n, r), dtype=jnp.int32)
+    starts, chunk = _chunks(n, chunk)
+    for lo in starts:
+        out = _reprune_chunk_into(out, space, nbrs, rev,
+                                  jnp.asarray(lo, jnp.int32), r=r,
+                                  alpha=alpha, chunk=chunk)
+    return out
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("r", "chunk"))
+def _fill_chunk_into(out_buf, nbrs, cand_d, cand_i, lo, r: int, chunk: int):
+    nb = jax.lax.dynamic_slice_in_dim(nbrs, lo, chunk)
+    cd = jax.lax.dynamic_slice_in_dim(cand_d, lo, chunk)
+    ci = jax.lax.dynamic_slice_in_dim(cand_i, lo, chunk)
+    me = lo + jnp.arange(chunk, dtype=jnp.int32)[:, None]
+    cd = jnp.where(ci == me, FINF, cd)
+    ci = jnp.where(ci == me, -1, ci)
+    order = jnp.argsort(cd, axis=1)
+    ci = jnp.take_along_axis(ci, order, axis=1)
+    cat = jnp.concatenate([nb, ci], axis=1)
+    # keep-first dedup, stable-compact left (fusion._union_rows, device ed.)
+    m = cat.shape[1]
+    order_keys = jnp.argsort(cat, axis=1, stable=True)
+    s = jnp.take_along_axis(cat, order_keys, axis=1)
+    first = jnp.concatenate(
+        [jnp.ones_like(s[:, :1], dtype=bool), s[:, 1:] != s[:, :-1]], axis=1)
+    first &= s >= 0
+    keep = jnp.zeros_like(first)
+    keep = jnp.put_along_axis(keep, order_keys, first, axis=1,
+                              inplace=False)
+    compact = jnp.argsort(~keep, axis=1, stable=True)
+    vals = jnp.take_along_axis(jnp.where(keep, cat, -1), compact, axis=1)
+    res = vals[:, :r]
+    if r > m:
+        res = jnp.pad(res, ((0, 0), (0, r - m)), constant_values=-1)
+    return jax.lax.dynamic_update_slice_in_dim(out_buf, res, lo, 0)
+
+
+def fill_degree_dev(nbrs: jax.Array, cand_d: jax.Array, cand_i: jax.Array,
+                    r: int, chunk: int = 4096) -> jax.Array:
+    """Pad every row to exactly r edges with nearest unused candidates."""
+    n = nbrs.shape[0]
+    out = jnp.zeros((n, r), dtype=jnp.int32)
+    starts, chunk = _chunks(n, chunk)
+    for lo in starts:
+        out = _fill_chunk_into(out, nbrs, cand_d, cand_i,
+                               jnp.asarray(lo, jnp.int32), r=r, chunk=chunk)
+    return out

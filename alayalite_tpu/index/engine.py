@@ -43,7 +43,7 @@ from .search import beam_search, graph_seeds
 
 log = logging.getLogger("alayalite_tpu")
 
-_BATCH_BUCKETS = (64, 256, 1024, 4096)
+_BATCH_BUCKETS = (64, 256, 1024, 4096, 16384)
 
 
 def _bucket(b: int) -> int:
@@ -163,7 +163,12 @@ class IndexEngine:
         """(ids [Q, topk] i32 with -1 pad, dists [Q, topk] f32)."""
         del num_threads
         self._require_fitted()
-        q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        if isinstance(queries, jax.Array):
+            # device-resident queries pass through with zero host copies
+            # (e.g. an embedding model producing queries on the same chip)
+            q = queries if queries.ndim == 2 else queries[None]
+        else:
+            q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         nq = q.shape[0]
         if self.params.index_type is IndexType.FLAT:
             # pass device arrays straight through — no host roundtrip
@@ -187,7 +192,9 @@ class IndexEngine:
                     np.concatenate([o[1] for o in outs]))
         b = _bucket(nq)
         if b != nq:
-            q = np.pad(q, ((0, b - nq), (0, 0)))
+            q = (jnp.pad(q, ((0, b - nq), (0, 0)))
+                 if isinstance(q, jax.Array) else
+                 np.pad(q, ((0, b - nq), (0, 0))))
         qj = self.search_space.prep_query(jnp.asarray(q))
         ef = max(int(ef), int(topk))
         if self.params.quantization_type in (QuantizationType.RABITQ,

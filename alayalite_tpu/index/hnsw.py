@@ -34,8 +34,7 @@ import numpy as np
 from .graph import Graph, OverlayLevel
 from .knn import exact_knn
 from .nndescent import build_knn_graph
-from .nsg import _attach_unreached, _batched_search_pool, _gather_dists_chunked
-from .prune import add_reverse_edges, occlusion_prune
+from .nsg import _attach_unreached
 
 log = logging.getLogger("alayalite_tpu")
 
@@ -56,6 +55,8 @@ def _build_overlay(space, n: int, r: int, rng: np.random.Generator):
     levels = []
     for li, ids in enumerate(members):
         vecs = np.asarray(space.data[jnp.asarray(ids)].astype(jnp.float32))
+        # (level subsets shrink ~R-fold per level; the first gather is the
+        # only sizable one and runs on device before the small download)
         k = min(r2, ids.size - 1)
         if k <= 0:
             nbrs_local = np.full((ids.size, r2), -1, dtype=np.int32)
@@ -84,18 +85,27 @@ class HNSWBuilder:
     knn_k: int = 32
     alpha: float = 1.0
     chunk: int = 4096
-    nnd_iters: int = 12
+    nnd_iters: int = 0  # 0 = auto (~log2 n rounds)
     use_search_pool: bool = True
     seed: int = 0
 
     def build_graph(self, space, n: Optional[int] = None) -> Graph:
+        """Device-resident pipeline: the only host↔device traffic is the
+        final adjacency download for the BFS connectivity repair."""
+        import jax
+        import jax.numpy as jnp
+
+        from .build_phases import (prune_all_dev, reprune_with_reverse_dev,
+                                   reverse_edges_dev, search_pool_dev)
+
         t0 = time.time()
         if n is None:
             n = int(space.num)
         rng = np.random.default_rng(self.seed)
 
         knn_d, knn_i = build_knn_graph(
-            space, n, self.knn_k, max_iters=self.nnd_iters, seed=self.seed)
+            space, n, self.knn_k, max_iters=self.nnd_iters, seed=self.seed,
+            as_numpy=False)
         log.info("hnsw: knn graph %.1fs", time.time() - t0)
 
         overlay, top_global = _build_overlay(space, n, self.r, rng)
@@ -103,37 +113,28 @@ class HNSWBuilder:
         log.info("hnsw: overlay %.1fs", time.time() - t0)
 
         if self.use_search_pool:
-            knn_graph_dev = Graph.from_numpy(knn_i, eps=[ep]).nbrs
-            data = np.asarray(space.data[:n].astype(jnp.float32))
             ef = min(self.l, 128)
-            pool_d, pool_i = _batched_search_pool(
-                space, knn_graph_dev, np.array([ep]), data, ef=ef,
-                chunk=self.chunk)
-            cand_i = np.concatenate([pool_i, knn_i], axis=1)
-            cand_d = np.concatenate([pool_d, knn_d], axis=1)
+            pool_d, pool_i = search_pool_dev(
+                space, knn_i, np.array([ep]), ef=ef, n=n, chunk=self.chunk,
+                seed=self.seed)
+            cand_i = jnp.concatenate([pool_i, knn_i], axis=1)
+            cand_d = jnp.concatenate([pool_d, knn_d], axis=1)
         else:
             cand_i, cand_d = knn_i, knn_d
-        me = np.arange(n, dtype=np.int32)[:, None]
-        cand_d = np.where(cand_i == me, np.inf, cand_d)
-        cand_i = np.where(cand_i == me, -1, cand_i)
-
         log.info("hnsw: candidate pools %.1fs", time.time() - t0)
-        nbrs = occlusion_prune(space, np.arange(n), cand_d, cand_i,
-                               r=self.r, alpha=self.alpha, chunk=self.chunk)
+
+        nbrs_dev = prune_all_dev(space, cand_d, cand_i, r=self.r,
+                                 alpha=self.alpha, chunk=self.chunk)
         log.info("hnsw: prune %.1fs", time.time() - t0)
 
-        rev, touched = add_reverse_edges(nbrs, max_candidates=2 * self.r)
-        t_ids = np.nonzero(touched)[0]
-        if t_ids.size:
-            cat_i = np.concatenate([nbrs[t_ids], rev[t_ids]], axis=1)
-            cat_d = _gather_dists_chunked(space, t_ids, cat_i, self.chunk)
-            cat_d = np.where(cat_i == t_ids[:, None], np.inf, cat_d)
-            cat_i = np.where(cat_i == t_ids[:, None], -1, cat_i)
-            nbrs[t_ids] = occlusion_prune(space, t_ids, cat_d, cat_i,
-                                          r=self.r, alpha=self.alpha,
-                                          chunk=self.chunk)
-
+        rev = reverse_edges_dev(nbrs_dev, jax.random.PRNGKey(self.seed + 3),
+                                width=2 * self.r)
+        nbrs_dev = reprune_with_reverse_dev(space, nbrs_dev, rev, r=self.r,
+                                            alpha=self.alpha,
+                                            chunk=self.chunk)
         log.info("hnsw: reverse %.1fs", time.time() - t0)
+
+        nbrs = np.array(nbrs_dev)  # single adjacency download
         nbrs = _attach_unreached(space, nbrs, ep, ef=64, chunk=self.chunk)
         log.info("HNSW build: n=%d r=%d l=%d levels=%d in %.2fs",
                  n, self.r, self.l, len(overlay), time.time() - t0)

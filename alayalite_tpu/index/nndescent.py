@@ -189,23 +189,30 @@ def build_knn_graph(
     space,
     n: int,
     k: int,
-    max_iters: int = 12,
+    max_iters: int = 0,
     seed: int = 0,
     sample_rate: float = 0.5,
     min_update_frac: float = 0.001,
     exact_threshold: int = 4096,
     chunk: int = 0,
+    as_numpy: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Approximate kNN graph of the first ``n`` valid slots of ``space``.
 
     Returns (dists [n,k] f32, ids [n,k] i32). Falls back to exact tiled
     search below ``exact_threshold`` (MXU all-pairs is faster there).
     """
+    if max_iters <= 0:
+        # cluster init (below) starts near-converged; a few refine rounds do
+        max_iters = 12 if n > 100_000 else max(12, int(np.log2(max(n, 2))) + 6)
     if n <= exact_threshold:
         from .knn import exact_knn
 
         data = np.asarray(space.data[:n].astype(jnp.float32))
-        return exact_knn(data, k, metric=space.metric)
+        d, i = exact_knn(data, k, metric=space.metric)
+        if as_numpy:
+            return d, i
+        return jnp.asarray(d), jnp.asarray(i)
 
     s1 = max(4, int(k * sample_rate))
     s2 = max(4, int(k * sample_rate) // 2)
@@ -218,7 +225,11 @@ def build_knn_graph(
         chunk = min(n, max(8192, int(2.5e9 / (m_width * dim * 4))))
 
     t0 = time.time()
-    knn_d, knn_i = _init_random_knn(space, n, k, seed, chunk=chunk)
+    if n > 100_000:
+        knn_d, knn_i = _init_cluster_knn(space, n, k, seed, chunk=chunk)
+        log.info("nndescent: cluster init done")
+    else:
+        knn_d, knn_i = _init_random_knn(space, n, k, seed, chunk=chunk)
     key = jax.random.PRNGKey(seed + 1)
     for it in range(max_iters):
         key, sub = jax.random.split(key)
@@ -229,4 +240,81 @@ def build_knn_graph(
                  time.time() - t0)
         if changed <= min_update_frac * n * k:
             break
-    return np.asarray(knn_d), np.asarray(knn_i)
+    if as_numpy:
+        return np.asarray(knn_d), np.asarray(knn_i)
+    return knn_d, knn_i
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _assign_chunk(space, anchors_vecs, anchors_sq, lo, chunk: int):
+    """Nearest anchor of each node in [lo, lo+chunk) — one bf16 MXU tile."""
+    q = jax.lax.dynamic_slice_in_dim(space.data, lo, chunk).astype(jnp.float32)
+    dot = jnp.dot(q.astype(jnp.bfloat16), anchors_vecs.T.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    d = anchors_sq[None, :] - 2.0 * dot        # |q|² constant per row: skip
+    return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+
+def _init_cluster_knn(space, n: int, k: int, seed: int, chunk: int):
+    """Cluster-local kNN init: random anchors → exact anchor kNN → assign
+    every node to its nearest anchor → seed each node's kNN list with random
+    members of its own cluster. NN-Descent then only has to refine locally,
+    converging in a handful of rounds even at 1M+ (random init needs ~log n
+    rounds and still under-converges — measured)."""
+    rng = np.random.default_rng(seed)
+    n_anchors = int(min(max(256, n // 256), 16384))
+    anchors = np.sort(rng.choice(n, size=n_anchors, replace=False)).astype(np.int32)
+    a_vecs = space.data[jnp.asarray(anchors)].astype(jnp.float32)
+    a_sq = jnp.sum(a_vecs * a_vecs, axis=-1)
+
+    assign = np.empty(n, dtype=np.int32)
+    starts = list(range(0, n - chunk + 1, chunk)) or [0]
+    if n % chunk and starts[-1] + chunk < n:
+        starts.append(max(0, n - chunk))
+    c = min(chunk, n)
+    for lo in starts:
+        start = min(lo, n - c)
+        assign[start:start + c] = np.asarray(
+            _assign_chunk(space, a_vecs, a_sq, jnp.asarray(start, jnp.int32),
+                          chunk=c))
+
+    # host group-by: members sorted by cluster
+    order = np.argsort(assign, kind="stable").astype(np.int32)
+    counts = np.bincount(assign, minlength=n_anchors)
+    starts_c = np.zeros(n_anchors + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts_c[1:])
+    # candidates: k random members of i's own cluster (locality) ∪ k random
+    # global nodes (the long-range links NN-Descent's join exploits)
+    pos = rng.integers(0, np.maximum(counts[assign], 1)[:, None],
+                       size=(n, k)).astype(np.int64)
+    local = order[(starts_c[assign][:, None] + pos) % max(n, 1)]
+    rand = rng.integers(0, n, size=(n, k))
+    cand = np.concatenate([local, rand], axis=1).astype(np.int32)
+    me = np.arange(n, dtype=np.int32)[:, None]
+    cand = np.where(cand == me, -1, cand)
+
+    # score + dedup-merge on device, chunked
+    kd = jnp.zeros((n, k), dtype=jnp.float32)
+    ki = jnp.zeros((n, k), dtype=jnp.int32)
+    cand_dev = jnp.asarray(cand)
+    for lo in starts:
+        start = min(lo, n - c)
+        kd, ki = _score_init_chunk(space, kd, ki, cand_dev,
+                                   jnp.asarray(start, jnp.int32), k=k, chunk=c)
+    return kd, ki
+
+
+@functools.partial(jax.jit, donate_argnums=(1, 2),
+                   static_argnames=("k", "chunk"))
+def _score_init_chunk(space, kd, ki, cand_dev, lo, k: int, chunk: int):
+    cc = jax.lax.dynamic_slice_in_dim(cand_dev, lo, chunk)
+    q = jax.lax.dynamic_slice_in_dim(space.data, lo, chunk).astype(jnp.float32)
+    safe = jnp.where(cc >= 0, cc, 0)
+    d = space.gather_dists(q, safe)
+    d = jnp.where(cc >= 0, d, FINF)
+    pd = jnp.full((chunk, k), FINF, dtype=jnp.float32)
+    pi = jnp.full((chunk, k), -1, dtype=jnp.int32)
+    nd, ni = _dedup_sorted_merge(pd, pi, d, cc, k)
+    kd = jax.lax.dynamic_update_slice_in_dim(kd, nd, lo, axis=0)
+    ki = jax.lax.dynamic_update_slice_in_dim(ki, ni, lo, axis=0)
+    return kd, ki

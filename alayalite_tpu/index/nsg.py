@@ -21,66 +21,102 @@ import logging
 import time
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .graph import Graph
 from .nndescent import build_knn_graph
-from .prune import add_reverse_edges, occlusion_prune
+from .prune import add_reverse_edges, occlusion_prune  # noqa: F401 (legacy host path, used by engine.insert)
 from .search import beam_search
 
 log = logging.getLogger("alayalite_tpu")
 
 
-def _batched_search_pool(space, nbrs_dev, eps: np.ndarray, queries: np.ndarray,
+def _batched_search_pool(space, nbrs_dev, eps: np.ndarray,
+                         queries: Optional[np.ndarray],
                          ef: int, chunk: int, n_total: Optional[int] = None,
                          n_rand_seeds: int = 16, seed: int = 0,
+                         n_queries: Optional[int] = None,
                          ) -> Tuple[np.ndarray, np.ndarray]:
     """Beam-search every query over ``nbrs`` returning the full ef-pool.
+
+    ``queries=None`` means "the space's own vectors" (the builders' case) —
+    they are sliced on device, never round-tripped through the host (at 1M
+    that roundtrip is gigabytes through the TPU tunnel).
 
     Seeds are eps ∪ random nodes — the NSG retset is initialized with random
     points precisely so pools cover components the entry point can't reach
     (nsg_builder.hpp search_on_graph's random init)."""
-    n = queries.shape[0]
+    n = n_queries if queries is None else queries.shape[0]
     rng = np.random.default_rng(seed)
     out_d = np.empty((n, ef), dtype=np.float32)
     out_i = np.empty((n, ef), dtype=np.int32)
     eps = np.asarray(eps, dtype=np.int32)
     n_pool = n_total if n_total is not None else n
+    chunk = min(chunk, n)
     for lo in range(0, n, chunk):
-        hi = min(lo + chunk, n)
-        c = hi - lo
-        q = queries[lo:hi]
-        if c < chunk and n > chunk:
-            q = np.pad(q, ((0, chunk - c), (0, 0)))
-        qj = jnp.asarray(q, dtype=jnp.float32)
-        rand = rng.integers(0, n_pool, size=(q.shape[0], n_rand_seeds))
+        start = min(lo, n - chunk)  # overlap tail instead of padding
+        if queries is None:
+            qj = jax.lax.dynamic_slice_in_dim(space.data, start, chunk
+                                              ).astype(jnp.float32)
+        else:
+            qj = jnp.asarray(queries[start: start + chunk], dtype=jnp.float32)
+        rand = rng.integers(0, n_pool, size=(chunk, n_rand_seeds))
         seeds_np = np.concatenate(
-            [np.broadcast_to(eps[None, :], (q.shape[0], eps.shape[0])), rand],
+            [np.broadcast_to(eps[None, :], (chunk, eps.shape[0])), rand],
             axis=1).astype(np.int32)
         d, i = beam_search(space, nbrs_dev, jnp.asarray(seeds_np), qj,
                            k=ef, ef=ef)
-        out_d[lo:hi] = np.asarray(d)[:c]
-        out_i[lo:hi] = np.asarray(i)[:c]
+        out_d[start: start + chunk] = np.asarray(d)
+        out_i[start: start + chunk] = np.asarray(i)
+        if start // chunk % 50 == 49:
+            log.info("search pool: %d/%d", start + chunk, n)
     return out_d, out_i
 
 
 def find_medoid(space, n: int) -> int:
-    """Entry point = node nearest the dataset centroid (nsg_builder.hpp:170-194)."""
+    """Entry point = node nearest the dataset centroid (nsg_builder.hpp:170-194).
+    Fully device-resident: no dataset roundtrip through the host."""
     from ..ops.distance import exact_topk
 
-    data = np.asarray(space.data[:n].astype(jnp.float32))
-    mean = data.mean(axis=0, keepdims=True)
+    data = space.data[:n].astype(jnp.float32)
+    mean = jnp.mean(data, axis=0, keepdims=True)
     _, ids = exact_topk(mean, data, 1, metric=space.metric)
     return int(ids[0, 0])
 
 
+def _components_of(nbrs: np.ndarray, members: np.ndarray) -> np.ndarray:
+    """Representative node of each connected component of the subgraph
+    induced by ``members`` (directed edges treated as undirected)."""
+    member_set = np.zeros(nbrs.shape[0], dtype=bool)
+    member_set[members] = True
+    unvisited = set(members.tolist())
+    reps = []
+    while unvisited:
+        start = unvisited.pop()
+        reps.append(start)
+        frontier = [start]
+        while frontier:
+            rows = nbrs[np.asarray(frontier, dtype=np.int64)].reshape(-1)
+            rows = rows[rows >= 0]
+            nxt = [x for x in np.unique(rows).tolist()
+                   if member_set[x] and x in unvisited]
+            for x in nxt:
+                unvisited.discard(x)
+            frontier = nxt
+    return np.asarray(reps, dtype=np.int32)
+
+
 def _attach_unreached(space, nbrs: np.ndarray, ep: int, ef: int,
                       chunk: int) -> np.ndarray:
-    """Connectivity repair: BFS from ep, then wire unreached components in by
-    linking each unreached node from its nearest reached neighbor."""
+    """Connectivity repair (tree_grow/attach_unlinked analog,
+    nsg_builder.hpp:500-628): BFS from ep, then add ONE edge per unreached
+    *component* — from the component representative's nearest reached node —
+    so each round strictly shrinks the unreached set (per-node attachment
+    oscillates: full rows get their repair edges clobbered by later ones)."""
     n = nbrs.shape[0]
-    for _round in range(32):
+    for _round in range(16):
         reached = np.zeros(n, dtype=bool)
         frontier = np.array([ep], dtype=np.int32)
         reached[ep] = True
@@ -94,15 +130,20 @@ def _attach_unreached(space, nbrs: np.ndarray, ep: int, ef: int,
         missing = np.nonzero(~reached)[0]
         if missing.size == 0:
             break
-        # nearest *reached* node of each unreached node via masked exact search
+        reps = _components_of(nbrs, missing)
+        log.info("attach round %d: %d unreached in %d components",
+                 _round, missing.size, reps.size)
+        # nearest *reached* node of each representative — device-resident
+        # (a host roundtrip of the dataset costs minutes through the tunnel)
         from ..ops.distance import exact_topk
 
-        data = np.asarray(space.data[:n].astype(jnp.float32))
-        valid = reached.copy()
-        _, near = exact_topk(data[missing], data, 1, metric=space.metric,
-                             valid=valid)
+        data = space.data[:n].astype(jnp.float32)
+        qs = data[jnp.asarray(reps, dtype=jnp.int32)]
+        _, near = exact_topk(qs, data, 1, metric=space.metric,
+                             valid=reached.copy())
         srcs = near[:, 0]
-        for u, v in zip(missing, srcs):
+        used: dict = {}
+        for u, v in zip(reps.tolist(), srcs.tolist()):
             if v < 0:
                 continue
             row = nbrs[v]
@@ -110,7 +151,11 @@ def _attach_unreached(space, nbrs: np.ndarray, ep: int, ef: int,
             if empt.size:
                 nbrs[v, empt[0]] = u
             else:
-                nbrs[v, -1] = u  # replace the farthest edge
+                # rotate through distinct slots per source node so repair
+                # edges added for other components this round survive
+                slot = used.get(v, 0)
+                used[v] = slot + 1
+                nbrs[v, -1 - (slot % nbrs.shape[1])] = u
     return nbrs
 
 
@@ -125,45 +170,37 @@ class NSGBuilder:
     knn_k: int = 32
     alpha: float = 1.0
     chunk: int = 4096
-    nnd_iters: int = 12
+    nnd_iters: int = 0  # 0 = auto (~log2 n rounds)
     seed: int = 0
 
     def build_graph(self, space, n: Optional[int] = None) -> Graph:
         t0 = time.time()
         if n is None:
             n = int(space.num)
+        from .build_phases import (prune_all_dev, reprune_with_reverse_dev,
+                                   reverse_edges_dev, search_pool_dev)
+
         knn_d, knn_i = build_knn_graph(
-            space, n, self.knn_k, max_iters=self.nnd_iters, seed=self.seed)
-        knn_graph = Graph.from_numpy(knn_i, eps=[0]).nbrs
+            space, n, self.knn_k, max_iters=self.nnd_iters, seed=self.seed,
+            as_numpy=False)
         ep = find_medoid(space, n)
 
-        data = np.asarray(space.data[:n].astype(jnp.float32))
         ef = min(self.l, max(self.r + 1, 16))
-        pool_d, pool_i = _batched_search_pool(
-            space, knn_graph, np.array([ep]), data, ef=self.l, chunk=self.chunk)
+        pool_d, pool_i = search_pool_dev(
+            space, knn_i, np.array([ep]), ef=self.l, n=n, chunk=self.chunk,
+            seed=self.seed)
+        cand_i = jnp.concatenate([pool_i, knn_i], axis=1)[:, : self.c]
+        cand_d = jnp.concatenate([pool_d, knn_d], axis=1)[:, : self.c]
 
-        cand_i = np.concatenate([pool_i, knn_i], axis=1)[:, : self.c]
-        cand_d = np.concatenate([pool_d, knn_d], axis=1)[:, : self.c]
-        me = np.arange(n, dtype=np.int32)[:, None]
-        cand_d = np.where(cand_i == me, np.inf, cand_d)
-        cand_i = np.where(cand_i == me, -1, cand_i)
+        nbrs_dev = prune_all_dev(space, cand_d, cand_i, r=self.r,
+                                 alpha=self.alpha, chunk=self.chunk)
+        rev = reverse_edges_dev(nbrs_dev, jax.random.PRNGKey(self.seed + 3),
+                                width=self.c - self.r)
+        nbrs_dev = reprune_with_reverse_dev(space, nbrs_dev, rev, r=self.r,
+                                            alpha=self.alpha,
+                                            chunk=self.chunk)
 
-        nbrs = occlusion_prune(space, np.arange(n), cand_d, cand_i,
-                               r=self.r, alpha=self.alpha, chunk=self.chunk)
-
-        # reverse edges: candidates = current edges ∪ reverse sources, re-prune
-        rev, touched = add_reverse_edges(nbrs, max_candidates=self.c - self.r)
-        t_ids = np.nonzero(touched)[0]
-        if t_ids.size:
-            cat_i = np.concatenate([nbrs[t_ids], rev[t_ids]], axis=1)
-            # distances node->candidate on device, chunked
-            cat_d = _gather_dists_chunked(space, t_ids, cat_i, self.chunk)
-            cat_d = np.where(cat_i == t_ids[:, None], np.inf, cat_d)
-            cat_i2 = np.where(cat_i == t_ids[:, None], -1, cat_i)
-            nbrs[t_ids] = occlusion_prune(space, t_ids, cat_d, cat_i2,
-                                          r=self.r, alpha=self.alpha,
-                                          chunk=self.chunk)
-
+        nbrs = np.array(nbrs_dev)  # single adjacency download
         nbrs = _attach_unreached(space, nbrs, ep, ef=ef, chunk=self.chunk)
         log.info("NSG build: n=%d r=%d l=%d in %.2fs", n, self.r, self.l,
                  time.time() - t0)

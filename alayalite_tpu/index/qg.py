@@ -25,9 +25,7 @@ import numpy as np
 from ..spaces.rabitq import DEGREE
 from .graph import Graph
 from .nndescent import build_knn_graph
-from .nsg import (_attach_unreached, _batched_search_pool,
-                  _gather_dists_chunked, find_medoid)
-from .prune import add_reverse_edges, occlusion_prune
+from .nsg import _attach_unreached, find_medoid
 
 log = logging.getLogger("alayalite_tpu")
 
@@ -57,7 +55,7 @@ class QGBuilder:
     ef: int = 128
     knn_k: int = 32
     chunk: int = 4096
-    nnd_iters: int = 12
+    nnd_iters: int = 0  # 0 = auto (~log2 n rounds)
     seed: int = 0
 
     def build_graph(self, raw_space, rabitq_space, n: Optional[int] = None):
@@ -68,35 +66,36 @@ class QGBuilder:
         assert self.r == getattr(rabitq_space, "degree", DEGREE), (
             "block degree must match the space's block width")
 
+        import jax
+        import jax.numpy as jnp
+
+        from .build_phases import (fill_degree_dev, prune_all_dev,
+                                   reprune_with_reverse_dev,
+                                   reverse_edges_dev, search_pool_dev)
+
         knn_d, knn_i = build_knn_graph(raw_space, n, self.knn_k,
                                        max_iters=self.nnd_iters,
-                                       seed=self.seed)
+                                       seed=self.seed, as_numpy=False)
+        log.info("qg: knn graph %.1fs", time.time() - t0)
         ep = find_medoid(raw_space, n)
-        knn_graph = Graph.from_numpy(knn_i, eps=[ep]).nbrs
-        data = np.asarray(raw_space.data[:n].astype(jnp.float32))
-        pool_d, pool_i = _batched_search_pool(
-            raw_space, knn_graph, np.array([ep]), data, ef=self.ef,
+        pool_d, pool_i = search_pool_dev(
+            raw_space, knn_i, np.array([ep]), ef=self.ef, n=n,
             chunk=self.chunk, seed=self.seed)
+        cand_i = jnp.concatenate([pool_i, knn_i], axis=1)
+        cand_d = jnp.concatenate([pool_d, knn_d], axis=1)
+        log.info("qg: candidate pools %.1fs", time.time() - t0)
 
-        cand_i = np.concatenate([pool_i, knn_i], axis=1)
-        cand_d = np.concatenate([pool_d, knn_d], axis=1)
-        me = np.arange(n, dtype=np.int32)[:, None]
-        cand_d = np.where(cand_i == me, np.inf, cand_d)
-        cand_i = np.where(cand_i == me, -1, cand_i)
+        nbrs_dev = prune_all_dev(raw_space, cand_d, cand_i, r=self.r,
+                                 chunk=self.chunk)
+        rev = reverse_edges_dev(nbrs_dev, jax.random.PRNGKey(self.seed + 3),
+                                width=2 * self.r)
+        nbrs_dev = reprune_with_reverse_dev(raw_space, nbrs_dev, rev,
+                                            r=self.r, chunk=self.chunk)
+        nbrs_dev = fill_degree_dev(nbrs_dev, cand_d, cand_i, r=self.r,
+                                   chunk=self.chunk)
+        log.info("qg: prune+reverse+fill %.1fs", time.time() - t0)
 
-        nbrs = occlusion_prune(raw_space, np.arange(n), cand_d, cand_i,
-                               r=self.r, chunk=self.chunk)
-        rev, touched = add_reverse_edges(nbrs, max_candidates=2 * self.r)
-        t_ids = np.nonzero(touched)[0]
-        if t_ids.size:
-            cat_i = np.concatenate([nbrs[t_ids], rev[t_ids]], axis=1)
-            cat_d = _gather_dists_chunked(raw_space, t_ids, cat_i, self.chunk)
-            cat_d = np.where(cat_i == t_ids[:, None], np.inf, cat_d)
-            cat_i = np.where(cat_i == t_ids[:, None], -1, cat_i)
-            nbrs[t_ids] = occlusion_prune(raw_space, t_ids, cat_d, cat_i,
-                                          r=self.r, chunk=self.chunk)
-
-        nbrs = _fill_degree(nbrs, cand_i, cand_d, self.r)
+        nbrs = np.array(nbrs_dev)  # single adjacency download
         nbrs = _attach_unreached(raw_space, nbrs, ep, ef=self.ef,
                                  chunk=self.chunk)
 

@@ -180,6 +180,15 @@ def exact_topk(
         q = normalize_rows(q)
         x = normalize_rows(x)
         metric = "ip"
+    # bound the [Q, tile_n] distance tile to ~2 GB by chunking queries
+    max_q = max(1024, int(2e9 / (4 * tile_n)))
+    if q.shape[0] > max_q:
+        outs = [exact_topk(q[lo: lo + max_q], x, k, metric=metric,
+                           valid=valid, tile_n=tile_n,
+                           compute_dtype=compute_dtype, rerank=rerank)
+                for lo in range(0, q.shape[0], max_q)]
+        return (np.concatenate([o[0] for o in outs]),
+                np.concatenate([o[1] for o in outs]))
     tile_n = int(min(tile_n, max(128, _round_up(n, 128))))
     npad = _round_up(max(n, tile_n), tile_n)
     v = np.ones(n, dtype=bool) if valid is None else np.asarray(valid, dtype=bool).copy()

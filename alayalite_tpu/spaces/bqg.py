@@ -18,6 +18,7 @@ factored for the MXU:  d² = (|q|² − 2 q·m) − 2 (q∘s)·c + |x̂|².
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import flax.struct
@@ -99,25 +100,25 @@ class BQGSpace:
     # ---- neighbor blocks ----
     def update_neighbors(self, nbrs: np.ndarray,
                          chunk: int = 2048) -> "BQGSpace":
+        """Encode every node's neighbor block. Codes accumulate on device
+        with buffer donation (at 1M the code tensor is ~4 GB — a host
+        roundtrip would take minutes through a TPU tunnel)."""
         n = int(self.num)
         r = self.degree
         nbrs = np.asarray(nbrs[:n, :r], dtype=np.int32)
         if nbrs.shape[1] < r:
             nbrs = np.pad(nbrs, ((0, 0), (0, r - nbrs.shape[1])),
                           constant_values=-1)
-        out_c = np.zeros((n, r, self.dim), dtype=np.uint8)
-        out_x = np.zeros((n, r), dtype=np.float32)
+        nbrs_dev = self.nbr_ids.at[:n].set(jnp.asarray(nbrs))
+        codes = self.nbr_codes
+        xsq = self.nbr_xsq
+        chunk = min(chunk, n)
         for lo in range(0, n, chunk):
-            hi = min(lo + chunk, n)
-            c, xsq = _encode_block(self.data, self.dmin, self.scale,
-                                   jnp.asarray(nbrs[lo:hi]))
-            out_c[lo:hi] = np.asarray(c)
-            out_x[lo:hi] = np.asarray(xsq)
-        return self.replace(
-            nbr_ids=self.nbr_ids.at[:n].set(jnp.asarray(nbrs)),
-            nbr_codes=self.nbr_codes.at[:n].set(jnp.asarray(out_c)),
-            nbr_xsq=self.nbr_xsq.at[:n].set(jnp.asarray(out_x)),
-        )
+            start = min(lo, n - chunk)
+            codes, xsq = _encode_block_into(
+                codes, xsq, self.data, self.dmin, self.scale, nbrs_dev,
+                jnp.asarray(start, jnp.int32), chunk=chunk)
+        return self.replace(nbr_ids=nbrs_dev, nbr_codes=codes, nbr_xsq=xsq)
 
     # ---- query-side (block-search protocol) ----
     def query_ctx(self, q: jax.Array):
@@ -191,11 +192,27 @@ class BQGSpace:
         )
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("chunk",))
+def _encode_block_into(codes_buf, xsq_buf, data: jax.Array, dmin: jax.Array,
+                       scale: jax.Array, nbrs_dev: jax.Array, lo, chunk: int):
+    """SQ8-encode one chunk's neighbor blocks directly into the donated
+    device buffers (in-place via donation — no 4 GB copies)."""
+    nbrs = jax.lax.dynamic_slice_in_dim(nbrs_dev, lo, chunk)
+    ok = nbrs >= 0
+    vecs = data[jnp.where(ok, nbrs, 0)]                    # [C, R, D]
+    c = jnp.clip(jnp.round((vecs - dmin) / scale), 0, 255)
+    xhat = c * scale + dmin
+    xsq = jnp.where(ok, jnp.sum(xhat * xhat, axis=-1), jnp.inf)
+    codes_buf = jax.lax.dynamic_update_slice_in_dim(
+        codes_buf, c.astype(jnp.uint8), lo, axis=0)
+    xsq_buf = jax.lax.dynamic_update_slice_in_dim(xsq_buf, xsq, lo, axis=0)
+    return codes_buf, xsq_buf
+
+
 @jax.jit
 def _encode_block(data: jax.Array, dmin: jax.Array, scale: jax.Array,
                   nbrs: jax.Array):
-    """SQ8-encode each node's neighbor vectors: [C, R] ids →
-    (codes [C, R, D] u8, |x̂|² [C, R])."""
+    """SQ8-encode neighbor vectors: [C, R] ids → (codes u8, |x̂|²)."""
     ok = nbrs >= 0
     vecs = data[jnp.where(ok, nbrs, 0)]                    # [C, R, D]
     c = jnp.clip(jnp.round((vecs - dmin) / scale), 0, 255)

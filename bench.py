@@ -40,7 +40,7 @@ def main() -> None:
     small = os.environ.get("ALAYA_BENCH_SMALL") == "1"
     n = int(os.environ.get("ALAYA_BENCH_N", "4000" if small else "100000"))
     dim = int(os.environ.get("ALAYA_BENCH_DIM", "32" if small else "128"))
-    nq = int(os.environ.get("ALAYA_BENCH_Q", "512" if small else "10000"))
+    nq = int(os.environ.get("ALAYA_BENCH_Q", "512" if small else "32768"))
     topk = 10
 
     from alayalite_tpu.utils.platforms import enable_compile_cache
@@ -64,14 +64,17 @@ def main() -> None:
     ds = random_dataset(n=n, dim=dim, n_queries=nq, seed=42,
                         clusters=max(32, n // 2000))
     t0 = time.time()
-    gt = calc_gt(ds.data, ds.queries, topk)
+    gt = calc_gt(ds.data, ds.queries, topk, fast=True)
     log(f"gt: {time.time() - t0:.1f}s")
 
     def measure(name, params, efs):
+        import jax.numpy as jnp
+
         idx = Index(name, params)
         t0 = time.time()
         idx.fit(ds.data)
         build_s = time.time() - t0
+        q_dev = jnp.asarray(ds.queries)  # device-resident variant
         rows = []
         for ef in efs:
             ids = idx.batch_search(ds.queries, topk, ef_search=ef)
@@ -82,10 +85,19 @@ def main() -> None:
             for _ in range(reps):
                 idx.batch_search(ds.queries, topk, ef_search=ef)
             qps = nq / ((time.time() - t0) / reps)
+            # device-resident queries: what the chip does once the H2D of
+            # the query batch is off the critical path (embedders on-chip,
+            # or a host with real PCIe instead of this test tunnel)
+            idx.batch_search(q_dev, topk, ef_search=ef)
+            t0 = time.time()
+            for _ in range(reps):
+                idx.batch_search(q_dev, topk, ef_search=ef)
+            qps_dev = nq / ((time.time() - t0) / reps)
             rows.append({"config": name, "ef": ef, "recall": round(rec, 4),
-                         "qps": round(qps, 1), "build_s": round(build_s, 1)})
+                         "qps": round(qps, 1), "qps_dev": round(qps_dev, 1),
+                         "build_s": round(build_s, 1)})
             log(f"{name} ef={ef}: recall@10={rec:.4f} qps={qps:,.0f} "
-                f"build={build_s:.1f}s")
+                f"qps_dev={qps_dev:,.0f} build={build_s:.1f}s")
             if rec >= 0.95 and name != "flat_fast":
                 break
         return rows

@@ -44,3 +44,27 @@ def test_nndescent_multi_chunk_rounds():
     hits = sum(len(set(multi[i].tolist()) & set(exact[i].tolist()))
                for i in range(5000))
     assert hits / (5000 * k) >= 0.8, hits / (5000 * k)
+
+
+def test_cluster_init_plus_refinement():
+    """Cluster-based init (the >100k path) + a few refine rounds must reach
+    the quality random init needs ~log n rounds for."""
+    import jax
+
+    from alayalite_tpu.index.nndescent import _init_cluster_knn, _nnd_round
+
+    ds = random_dataset(n=4000, dim=16, n_queries=0, seed=5)
+    space = RawSpace.create(4000, 16).fit(ds.data)
+    k = 16
+    kd, ki = _init_cluster_knn(space, 4000, k, seed=0, chunk=2048)
+    assert (np.asarray(ki) != np.arange(4000)[:, None]).all()
+    key = jax.random.PRNGKey(1)
+    for _ in range(8):
+        key, sub = jax.random.split(key)
+        kd, ki, _c = _nnd_round(space, kd, ki, sub, s1=8, s2=4, s_rev=8,
+                                n_rand=4, chunk=2048)
+    ki = np.asarray(ki)
+    _, exact = exact_knn(ds.data, k)
+    hits = sum(len(set(ki[i].tolist()) & set(exact[i].tolist()))
+               for i in range(4000))
+    assert hits / (4000 * k) >= 0.8, hits / (4000 * k)

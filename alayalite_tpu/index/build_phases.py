@@ -66,7 +66,7 @@ def search_pool_dev(space, nbrs_dev: jax.Array, eps: np.ndarray, ef: int,
             [np.broadcast_to(eps[None, :], (chunk, eps.shape[0])), rand],
             axis=1).astype(np.int32)
         d, i = beam_search(space, nbrs_dev, jnp.asarray(seeds_np), qj,
-                           k=ef, ef=ef)
+                           k=ef, ef=ef, n_expand=8)
         pool_d, pool_i = _write2(pool_d, pool_i, d, i,
                                  jnp.asarray(lo, jnp.int32), chunk=chunk)
         if idx % 50 == 49:

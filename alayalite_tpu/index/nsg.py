@@ -116,7 +116,7 @@ def _attach_unreached(space, nbrs: np.ndarray, ep: int, ef: int,
     so each round strictly shrinks the unreached set (per-node attachment
     oscillates: full rows get their repair edges clobbered by later ones)."""
     n = nbrs.shape[0]
-    for _round in range(16):
+    for _round in range(24):
         reached = np.zeros(n, dtype=bool)
         frontier = np.array([ep], dtype=np.int32)
         reached[ep] = True
@@ -128,6 +128,10 @@ def _attach_unreached(space, nbrs: np.ndarray, ep: int, ef: int,
             reached[nxt] = True
             frontier = nxt
         missing = np.nonzero(~reached)[0]
+        # residual unreachable below 0.02% is noise next to quantization
+        # and beam-truncation effects; stop burning repair rounds on it
+        if missing.size <= max(0, int(2e-4 * n)) and _round > 0:
+            break
         if missing.size == 0:
             break
         reps = _components_of(nbrs, missing)

@@ -180,8 +180,9 @@ def exact_topk(
         q = normalize_rows(q)
         x = normalize_rows(x)
         metric = "ip"
-    # bound the [Q, tile_n] distance tile to ~2 GB by chunking queries
-    max_q = max(1024, int(2e9 / (4 * tile_n)))
+    # bound the [Q, tile_n] distance tile to ~4 GB by chunking queries
+    # (fewer slices = fewer fixed-cost dispatches on tunneled TPUs)
+    max_q = max(1024, int(4e9 / (4 * tile_n)))
     if q.shape[0] > max_q:
         outs = [exact_topk(q[lo: lo + max_q], x, k, metric=metric,
                            valid=valid, tile_n=tile_n,

@@ -136,30 +136,26 @@ class RaBitQSpace:
     # ---- neighbor quantization (update_nei, rabitq_space.hpp:138-161) ----
     def update_neighbors(self, nbrs: np.ndarray,
                          chunk: int = 2048) -> "RaBitQSpace":
-        """Quantize every node's neighbor block from adjacency [N, 32]."""
+        """Quantize every node's neighbor block from adjacency [N, 32].
+        Device-resident: bits pack on device (little-endian, matching
+        _unpack_bits_jnp) and accumulate into donated buffers."""
         n = int(self.num)
         nbrs = np.asarray(nbrs[:n, :DEGREE], dtype=np.int32)
         if nbrs.shape[1] < DEGREE:
             nbrs = np.pad(nbrs, ((0, 0), (0, DEGREE - nbrs.shape[1])),
                           constant_values=-1)
-        out_bits = np.zeros((n, DEGREE, self.dim // 8), dtype=np.uint8)
-        out_fa = np.zeros((n, DEGREE), dtype=np.float32)
-        out_fr = np.zeros((n, DEGREE), dtype=np.float32)
-        for lo in range(0, n, chunk):
-            hi = min(lo + chunk, n)
-            bits, fa, fr = _quantize_block(
-                self.data, self.rot,
-                jnp.asarray(np.arange(lo, hi, dtype=np.int32)),
-                jnp.asarray(nbrs[lo:hi]))
-            out_bits[lo:hi] = _pack_bits(np.asarray(bits))
-            out_fa[lo:hi] = np.asarray(fa)
-            out_fr[lo:hi] = np.asarray(fr)
-        return self.replace(
-            nbr_ids=self.nbr_ids.at[:n].set(jnp.asarray(nbrs)),
-            nbr_bits=self.nbr_bits.at[:n].set(jnp.asarray(out_bits)),
-            f_add=self.f_add.at[:n].set(jnp.asarray(out_fa)),
-            f_rescale=self.f_rescale.at[:n].set(jnp.asarray(out_fr)),
-        )
+        nbrs_dev = self.nbr_ids.at[:n].set(jnp.asarray(nbrs))
+        bits_buf, fa_buf, fr_buf = self.nbr_bits, self.f_add, self.f_rescale
+        c = min(chunk, n)
+        starts = list(range(0, n - c + 1, c))
+        if n % c and (not starts or starts[-1] + c < n):
+            starts.append(n - c)
+        for lo in starts:
+            bits_buf, fa_buf, fr_buf = _quantize_block_into(
+                bits_buf, fa_buf, fr_buf, self.data, self.rot, nbrs_dev,
+                jnp.asarray(lo, jnp.int32), chunk=c)
+        return self.replace(nbr_ids=nbrs_dev, nbr_bits=bits_buf,
+                            f_add=fa_buf, f_rescale=fr_buf)
 
     def remove(self, ids: jax.Array) -> "RaBitQSpace":
         ids = jnp.atleast_1d(jnp.asarray(ids, dtype=jnp.int32))
@@ -233,6 +229,30 @@ class RaBitQSpace:
             valid=jnp.asarray(d["valid"], dtype=bool),
             num=jnp.asarray(int(d["num"]), dtype=jnp.int32),
         )
+
+
+def _pack_bits_jnp(bits: jax.Array) -> jax.Array:
+    """bool [..., D] → packed uint8 [..., D/8], little-endian per byte
+    (inverse of _unpack_bits_jnp)."""
+    shape = bits.shape
+    b = bits.reshape(*shape[:-1], shape[-1] // 8, 8).astype(jnp.uint8)
+    weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))
+    return jnp.sum(b * weights, axis=-1).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                   static_argnames=("chunk",))
+def _quantize_block_into(bits_buf, fa_buf, fr_buf, data, rot, nbrs_dev, lo,
+                         chunk: int):
+    """Quantize one chunk of neighbor blocks into donated device buffers."""
+    us = lo + jnp.arange(chunk, dtype=jnp.int32)
+    nbrs = jax.lax.dynamic_slice_in_dim(nbrs_dev, lo, chunk)
+    bits, fa, fr = _quantize_block(data, rot, us, nbrs)
+    packed = _pack_bits_jnp(bits)
+    bits_buf = jax.lax.dynamic_update_slice_in_dim(bits_buf, packed, lo, 0)
+    fa_buf = jax.lax.dynamic_update_slice_in_dim(fa_buf, fa, lo, 0)
+    fr_buf = jax.lax.dynamic_update_slice_in_dim(fr_buf, fr, lo, 0)
+    return bits_buf, fa_buf, fr_buf
 
 
 @jax.jit

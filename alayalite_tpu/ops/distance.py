@@ -16,6 +16,7 @@ Distance value conventions match the reference exactly:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -85,7 +86,7 @@ def pairwise(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "tile_n", "bf16", "approx"),
+    static_argnames=("k", "metric", "tile_n", "bf16", "approx", "group"),
 )
 def _exact_topk_device(
     q: jax.Array,          # [Q, D] f32 (already normalized if cos)
@@ -97,11 +98,19 @@ def _exact_topk_device(
     tile_n: int,
     bf16: bool,
     approx: bool = False,
+    group: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
+    """``group`` > 0 switches selection to group-min pre-reduction: every
+    G-element group collapses to its min before top-k, and the returned ids
+    are GROUP indices (caller expands + reranks members). Exactness: the
+    group holding the i-th best element has group-min ≤ d_i, so it ranks
+    within the top-i groups — top-k groups always cover the top-k elements.
+    Selection work and post-matmul memory traffic drop G-fold."""
     cdt = jnp.bfloat16 if bf16 else None
     n_tiles = x.shape[0] // tile_n
     q_sq = sqnorms(q)
     Q = q.shape[0]
+    G = max(1, int(group))
 
     def body(carry, t):
         best_d, best_i = carry
@@ -110,6 +119,8 @@ def _exact_topk_device(
         ss = jax.lax.dynamic_slice_in_dim(x_sq, t * tile_n, tile_n)
         d = pairwise(q, xs, metric=metric, x_sq=ss, q_sq=q_sq, compute_dtype=cdt)
         d = jnp.where(vs[None, :], d, FINF)
+        if G > 1:
+            d = jnp.min(d.reshape(Q, tile_n // G, G), axis=2)
         # select within the tile FIRST (never concat the [Q, tile] matrix —
         # that copy costs a full extra HBM pass), then merge small results
         if approx:
@@ -118,7 +129,7 @@ def _exact_topk_device(
             nd_t, sel_t = jax.lax.approx_max_k(-d, k, recall_target=0.95)
         else:
             nd_t, sel_t = jax.lax.top_k(-d, k)
-        ids_t = t * tile_n + sel_t.astype(jnp.int32)
+        ids_t = t * (tile_n // G) + sel_t.astype(jnp.int32)
         cat_d = jnp.concatenate([best_d, -nd_t], axis=1)
         cat_i = jnp.concatenate([best_i, ids_t], axis=1)
         nd, sel = jax.lax.top_k(-cat_d, k)
@@ -199,11 +210,23 @@ def exact_topk(
         x = jnp.pad(x, ((0, npad - n), (0, 0)))
     x_sq = sqnorms(x)
     coarse_k = int(max(k, rerank)) if rerank else int(k)
+    fast = bool(rerank and coarse_k > k)
+    # group-min pre-reduction measured slower than direct approx selection
+    # on v5e (selection is not the dominant cost); kept available via env
+    G = int(os.environ.get("ALAYA_TOPK_GROUP", "1")) if fast else 1
     d, i = _exact_topk_device(
         q, x, x_sq, jnp.asarray(vfull), k=coarse_k, metric=metric,
         tile_n=tile_n, bf16=(compute_dtype == "bfloat16"),
-        approx=bool(rerank and coarse_k > k),
+        approx=fast, group=G,
     )
-    if rerank and coarse_k > k:
-        d, i = _rerank_device(q, x, x_sq, i, k=int(k), metric=metric)
+    if fast:
+        if G > 1:
+            # expand winning groups to member element ids before rerank
+            cand = (i[:, :, None] * G
+                    + jnp.arange(G, dtype=jnp.int32)[None, None, :]).reshape(
+                        q.shape[0], -1)
+            cand = jnp.where((cand >= 0) & (cand < n), cand, -1)
+        else:
+            cand = i
+        d, i = _rerank_device(q, x, x_sq, cand, k=int(k), metric=metric)
     return np.asarray(d), np.asarray(i)

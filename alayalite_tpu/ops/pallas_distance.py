@@ -8,18 +8,19 @@ does NOT fuse tightly:
 
   - ``pairwise_l2_pallas``: the L2 epilogue (|q|²+|x|²−2q·xᵀ, clamp) fused
     into the matmul tile — no [Q, N] f32 intermediate roundtrips to HBM.
+    Norms are recomputed in-VMEM from the tiles (cheaper than streaming
+    rank-1 side inputs through Mosaic's tiling constraints).
   - ``sq8_pairwise_pallas``: u8 codes stream from HBM (¼ the bytes of f32),
-    decode (c·s+m) fused into the tile via the factored identity
-    q·x̂ = (q∘s)·c + q·m, i.e. one bf16 matmul against the raw codes plus a
-    per-query constant — the SQ8 asymmetric-distance kernel, MXU edition.
+    decode fused into the tile via the factored identity
+    q·x̂ = (q∘s)·(c−128) + q·(m+128s), one bf16 matmul against raw codes.
 
-Both kernels run the same code in interpret mode on CPU for tests.
+Both kernels run the same code in interpret mode on CPU for tests; compiled
+on TPU they obey Mosaic tiling (tq, tn multiples of 128).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,14 +32,18 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _l2_tile_kernel(q_ref, x_ref, qsq_ref, xsq_ref, out_ref):
+def _l2_tile_kernel(q_ref, x_ref, out_ref):
     """One [TQ, TN] distance tile: dot on the MXU + fused epilogue."""
+    q = q_ref[:]
+    x = x_ref[:]
     dot = jax.lax.dot_general(
-        q_ref[:], x_ref[:],
+        q, x,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    d = qsq_ref[:].reshape(-1, 1) + xsq_ref[:].reshape(1, -1) - 2.0 * dot
+    q_sq = jnp.sum(q * q, axis=1, keepdims=True)          # [TQ, 1]
+    x_sq = jnp.sum(x * x, axis=1, keepdims=True)          # [TN, 1]
+    d = q_sq + x_sq.reshape(1, -1) - 2.0 * dot
     out_ref[:] = jnp.maximum(d, 0.0)
 
 
@@ -46,8 +51,6 @@ def _l2_tile_kernel(q_ref, x_ref, qsq_ref, xsq_ref, out_ref):
 def pairwise_l2_pallas(
     q: jax.Array,        # [Q, D] f32 (Q % tq == 0)
     x: jax.Array,        # [N, D] f32 (N % tn == 0)
-    q_sq: jax.Array,     # [Q]
-    x_sq: jax.Array,     # [N]
     tq: int = 256,
     tn: int = 512,
     interpret: bool = False,
@@ -64,8 +67,6 @@ def pairwise_l2_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, D), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq,), lambda i, j: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn,), lambda i, j: (j,), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tq, tn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
@@ -76,27 +77,40 @@ def pairwise_l2_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q, x, q_sq, x_sq)
+    )(q, x)
 
 
-def _sq8_tile_kernel(qs_ref, codes_ref, qconst_ref, xsq_ref, out_ref):
-    """SQ8 tile: bf16 matmul of (q∘scale) against raw u8 codes, decode fused.
+def _sq8_tile_kernel(q_ref, codes_ref, dmin_ref, scale_ref, out_ref):
+    """SQ8 tile with decode fused: bf16 matmul of (q∘scale) against centered
+    u8 codes; all per-row terms computed in-VMEM (rank-2 blocks only —
+    Mosaic's tiling rules make rank-1 side inputs awkward).
 
-    qs_ref    [TQ, D]  bf16 — query ∘ per-dim scale
-    codes_ref [TN, D]  u8   — quantization codes (stream ¼ the f32 bytes)
-    qconst_ref[TQ]     f32  — |q|² + q·dmin-fold: |q|² − 2·(q·m) is folded
-                              by the caller into one per-query constant
-    xsq_ref   [TN]     f32  — |x̂|² (precomputed at encode)
-    out: d = qconst − 2·(q∘s)·c + |x̂|²
+    q_ref     [TQ, D] f32 raw queries
+    codes_ref [TN, D] u8  quantization codes (¼ the f32 bytes off HBM)
+    dmin_ref  [1, D]  f32 per-dim minimum
+    scale_ref [1, D]  f32 per-dim step
+    out: d = |q|² − 2·q·x̂ + |x̂|²,  q·x̂ = (q∘s)·(c−128) + q·(m+128s)
     """
-    cf = (codes_ref[:].astype(jnp.int16) - 128).astype(jnp.bfloat16)
+    q = q_ref[:]
+    dmin = dmin_ref[:]
+    scale = scale_ref[:]
+    # u8 -> bf16 is exact for 0..255; centering in float avoids an int16
+    # intermediate that crashes the Mosaic compiler
+    # Mosaic lacks direct u8->float casts; hop through int32
+    cf = (codes_ref[:].astype(jnp.int32).astype(jnp.float32)
+          - 128.0).astype(jnp.bfloat16)
+    qs = (q * scale).astype(jnp.bfloat16)
     dot = jax.lax.dot_general(
-        qs_ref[:], cf,
+        qs, cf,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    d = (qconst_ref[:].reshape(-1, 1) - 2.0 * dot
-         + xsq_ref[:].reshape(1, -1))
+    shift = dmin + 128.0 * scale                            # [1, D]
+    qconst = jnp.sum(q * q - 2.0 * q * shift, axis=1,
+                     keepdims=True)                         # [TQ, 1]
+    xhat = cf.astype(jnp.float32) * scale + shift           # [TN, D]
+    xsq = jnp.sum(xhat * xhat, axis=1, keepdims=True)       # [TN, 1]
+    d = qconst - 2.0 * dot + xsq.reshape(1, -1)
     out_ref[:] = jnp.maximum(d, 0.0)
 
 
@@ -114,10 +128,7 @@ def sq8_pairwise_pallas(
     """[Q, N] asymmetric L2² against SQ8 codes with fused decode."""
     Q, D = q.shape
     N = codes.shape[0]
-    qs = (q * scale[None, :]).astype(jnp.bfloat16)
-    shift = dmin[None, :] + 128.0 * scale[None, :]  # codes centered at 128
-    qconst = (jnp.sum(q * q, axis=-1)
-              - 2.0 * jnp.sum(q * shift, axis=-1))   # [Q]
+    del xhat_sq  # recomputed in-kernel from the decoded tile
     grid = (_cdiv(Q, tq), _cdiv(N, tn))
     return pl.pallas_call(
         _sq8_tile_kernel,
@@ -127,16 +138,18 @@ def sq8_pairwise_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, D), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq,), lambda i, j: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn,), lambda i, j: (j,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tq, tn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Q, N), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * Q * N * D + 3 * Q * N,
-            bytes_accessed=Q * D * 2 + N * D + Q * N * 4,
+            bytes_accessed=Q * D * 4 + N * D + Q * N * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qs, codes, qconst, xhat_sq)
+    )(q, codes, dmin.reshape(1, D), scale.reshape(1, D))

@@ -171,14 +171,12 @@ class IndexEngine:
             q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         nq = q.shape[0]
         if self.params.index_type is IndexType.FLAT:
-            # pass device arrays straight through — no host roundtrip
             fast = self.params.flat_mode == "fast"
+            if fast:
+                return self._flat_fast_search(q, topk)
             d, i = exact_topk(q, self.space.data.astype(jnp.float32),
                               topk, metric=self.space.metric,
-                              valid=np.asarray(self.space.valid),
-                              compute_dtype="bfloat16" if fast else "float32",
-                              rerank=max(32, 4 * topk) if fast else 0,
-                              tile_n=65536 if fast else 16384)
+                              valid=np.asarray(self.space.valid))
             return i, d
 
         # fixed shape buckets bound compile count; above the largest bucket,
@@ -240,6 +238,36 @@ class IndexEngine:
         ids, d = self.batch_search_with_distance(np.atleast_2d(query), topk, ef)
         return ids[0], d[0]
 
+    def _flat_fast_search(self, q, topk: int):
+        """One-dispatch flat fast path: cached padded slab + in-jit query
+        slicing (each dispatch costs ~35ms through a TPU tunnel)."""
+        from ..ops.distance import flat_search_device, sqnorms
+
+        version = (int(self.space.num), getattr(self, "_mutations", 0))
+        if (getattr(self, "_flat_cache", None) is None
+                or self._flat_cache_version != version):
+            x = self.space.data.astype(jnp.float32)
+            npad = (-(-x.shape[0] // 65536) * 65536 if x.shape[0] > 65536
+                    else -(-x.shape[0] // 128) * 128)
+            if npad != x.shape[0]:
+                x = jnp.pad(x, ((0, npad - x.shape[0]), (0, 0)))
+            vfull = jnp.zeros((npad,), bool).at[
+                : self.space.valid.shape[0]].set(self.space.valid)
+            self._flat_cache = (x, sqnorms(x), vfull)
+            self._flat_cache_version = version
+        x, x_sq, vfull = self._flat_cache
+        nq = q.shape[0]
+        qchunk = min(4096, _bucket(nq))
+        b = -(-nq // qchunk) * qchunk
+        qj = self.space.prep_query(jnp.asarray(q))
+        if b != nq:
+            qj = jnp.pad(qj, ((0, b - nq), (0, 0)))
+        tile = min(65536, x.shape[0])
+        d, i = flat_search_device(qj, x, x_sq, vfull, k=topk,
+                                  metric=self.space.metric, tile_n=tile,
+                                  rerank=max(32, 4 * topk), qchunk=qchunk)
+        return np.asarray(i)[:nq], np.asarray(d)[:nq]
+
     # --------------------------------------------------------------- update
     def insert(self, vectors, ef: int = 100) -> np.ndarray:
         """Batched online insert (graph_update_job.hpp:66-89). Returns new ids
@@ -296,6 +324,7 @@ class IndexEngine:
     def remove(self, ids) -> None:
         """Tombstone removal (graph_update_job.hpp:91-103)."""
         self._require_fitted()
+        self._mutations = getattr(self, "_mutations", 0) + 1
         arr = jnp.atleast_1d(jnp.asarray(ids, dtype=jnp.int32))
         self.space = self.space.remove(arr)
         if self.search_space is not self.space:

@@ -230,3 +230,36 @@ def exact_topk(
             cand = i
         d, i = _rerank_device(q, x, x_sq, cand, k=int(k), metric=metric)
     return np.asarray(d), np.asarray(i)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "tile_n", "rerank", "qchunk"),
+)
+def flat_search_device(
+    q_all: jax.Array,      # [Q, D] f32, Q % qchunk == 0
+    x: jax.Array,          # [Np, D] padded
+    x_sq: jax.Array,       # [Np]
+    valid: jax.Array,      # [Np] bool
+    k: int,
+    metric: str,
+    tile_n: int = 65536,
+    rerank: int = 40,
+    qchunk: int = 4096,
+) -> Tuple[jax.Array, jax.Array]:
+    """The whole two-stage flat search (bf16 coarse scan + approx select +
+    exact f32 rerank) for an arbitrarily large query batch in ONE program:
+    queries are sliced *inside* the jit (lax.map), so a serving call costs a
+    single dispatch however many slices run — on tunneled TPUs each dispatch
+    has a ~35ms fixed floor (scripts/io_probe.py)."""
+    Q, D = q_all.shape
+    S = Q // qchunk
+
+    def one(q):
+        d, i = _exact_topk_device(q, x, x_sq, valid, k=max(k, rerank),
+                                  metric=metric, tile_n=tile_n, bf16=True,
+                                  approx=True, group=1)
+        return _rerank_device(q, x, x_sq, i, k=k, metric=metric)
+
+    d, i = jax.lax.map(one, q_all.reshape(S, qchunk, D))
+    return d.reshape(Q, k), i.reshape(Q, k)

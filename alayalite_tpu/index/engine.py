@@ -179,48 +179,40 @@ class IndexEngine:
                               valid=np.asarray(self.space.valid))
             return i, d
 
-        # fixed shape buckets bound compile count; above the largest bucket,
-        # slice into max-bucket-sized pieces (one compiled program, reused)
-        bmax = _BATCH_BUCKETS[-1]
-        if nq > bmax:
-            outs = [self.batch_search_with_distance(q[lo: lo + bmax], topk,
-                                                    ef, 1)
-                    for lo in range(0, nq, bmax)]
-            return (np.concatenate([o[0] for o in outs]),
-                    np.concatenate([o[1] for o in outs]))
-        b = _bucket(nq)
+        # pad to a fixed query-slice multiple; all slicing happens inside
+        # ONE jitted program (through a TPU tunnel every extra dispatch has
+        # a ~35ms fixed floor)
+        qchunk = min(4096, _bucket(nq))
+        b = -(-nq // qchunk) * qchunk
         if b != nq:
             q = (jnp.pad(q, ((0, b - nq), (0, 0)))
                  if isinstance(q, jax.Array) else
                  np.pad(q, ((0, b - nq), (0, 0))))
         qj = self.search_space.prep_query(jnp.asarray(q))
         ef = max(int(ef), int(topk))
+        m = self.params.beam_expand
         if self.params.quantization_type in (QuantizationType.RABITQ,
                                              QuantizationType.BSQ8):
-            from .search import block_beam_search
+            from .search import block_search_device
 
-            seeds = jnp.broadcast_to(self.graph.eps[None, :],
-                                     (qj.shape[0], self.graph.eps.shape[0]))
-            d, i = block_beam_search(self.search_space, seeds, qj,
-                                     k=topk, ef=ef, valid=self.space.valid,
-                                     n_expand=self.params.beam_expand)
+            d, i = block_search_device(self.search_space, self.graph.eps, qj,
+                                       k=topk, ef=ef, valid=self.space.valid,
+                                       n_expand=m, qchunk=qchunk)
             return np.asarray(i)[:nq], np.asarray(d)[:nq]
-        seeds = graph_seeds(self.graph, self.search_space, qj)
-        m = self.params.beam_expand
+        from .search import graph_search_device
+
         if self.search_space is self.space:
-            d, i = beam_search(self.space, self.graph.nbrs, seeds, qj,
-                               k=topk, ef=ef, valid=self.space.valid,
-                               n_expand=m)
-            # traversal ran at fast MXU precision; re-score the k returned
-            # ids exactly so reported distances are full f32
-            d, i = _rerank_exact(self.space,
-                                 self.space.prep_query(jnp.asarray(q)), i,
-                                 topk)
+            d, i = graph_search_device(
+                self.space, self.graph.nbrs, self.graph.eps,
+                self.graph.overlay, qj, k=topk, ef=ef,
+                valid=self.space.valid, n_expand=m, qchunk=qchunk)
         else:
-            # quantized traversal + exact rerank of the ef-pool in build space
-            d_q, pool = beam_search(self.search_space, self.graph.nbrs, seeds,
-                                    qj, k=ef, ef=ef, valid=self.space.valid,
-                                    n_expand=m)
+            # quantized traversal: pool of ef ids, exact rerank in build space
+            d_q, pool = graph_search_device(
+                self.search_space, self.graph.nbrs, self.graph.eps,
+                self.graph.overlay, qj, k=ef, ef=ef,
+                valid=self.space.valid, n_expand=m, qchunk=qchunk,
+                exact_rerank=False)
             d, i = _rerank(self.space, self.space.prep_query(jnp.asarray(q)),
                            pool, topk)
         return np.asarray(i)[:nq], np.asarray(d)[:nq]

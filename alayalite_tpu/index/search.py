@@ -376,3 +376,95 @@ def rabitq_beam_search(space, seeds, queries, k, ef, max_iters=0, valid=None,
     return block_beam_search(space, seeds, queries, k=k, ef=ef,
                              max_iters=max_iters, valid=valid,
                              n_expand=n_expand, ring_size=ring_size)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "ef", "max_iters", "n_expand",
+                                    "visited_mode", "ring_size", "qchunk",
+                                    "exact_rerank"))
+def graph_search_device(
+    space,
+    nbrs: jax.Array,
+    eps: jax.Array,             # [E] entry points (-1 pad)
+    overlay,                    # tuple of OverlayLevel (may be empty)
+    q_all: jax.Array,           # [Q, D] prepped queries, Q % qchunk == 0
+    k: int,
+    ef: int,
+    max_iters: int = 0,
+    valid: Optional[jax.Array] = None,
+    n_expand: int = 8,
+    visited_mode: str = "ring",
+    ring_size: int = 512,
+    qchunk: int = 4096,
+    exact_rerank: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """The full graph query pipeline — overlay greedy descent, lockstep beam,
+    exact re-score — for an arbitrarily large batch in ONE program (queries
+    sliced in-jit via lax.map). A serving call costs one dispatch; through a
+    TPU tunnel each dispatch has a ~35ms fixed floor."""
+    Q, D = q_all.shape
+    S = Q // qchunk
+
+    def seeds_for(q):
+        if len(overlay) == 0:
+            return jnp.broadcast_to(eps[None, :], (q.shape[0], eps.shape[0]))
+        cur = jnp.zeros((q.shape[0],), dtype=jnp.int32)
+        for lvl in overlay:
+            cur = overlay_descend(space, lvl.ids, lvl.nbrs, lvl.down, cur, q)
+        return cur[:, None]
+
+    def one(q):
+        seeds = seeds_for(q)
+        d, i = beam_search(space, nbrs, seeds, q, k=k, ef=ef,
+                           max_iters=max_iters, valid=valid,
+                           n_expand=n_expand, visited_mode=visited_mode,
+                           ring_size=ring_size)
+        if exact_rerank:
+            safe = jnp.where(i >= 0, i, 0)
+            vecs = space.data[safe].astype(jnp.float32)
+            dot = jnp.einsum("bkd,bd->bk", vecs, q,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+            if space.metric == "ip":
+                dd = -dot
+            else:
+                q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+                dd = jnp.maximum(q_sq + space.sq_norms[safe] - 2.0 * dot, 0.0)
+            dd = jnp.where(i >= 0, dd, FINF)
+            nd, sel = jax.lax.top_k(-dd, k)
+            i = jnp.take_along_axis(i, sel, axis=1)
+            d = -nd
+            i = jnp.where(jnp.isfinite(d), i, -1)
+        return d, i
+
+    d, i = jax.lax.map(one, q_all.reshape(S, qchunk, D))
+    return d.reshape(Q, k), i.reshape(Q, k)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "ef", "max_iters", "n_expand",
+                                    "ring_size", "qchunk"))
+def block_search_device(
+    space,                      # block space (RaBitQ / BQG)
+    eps: jax.Array,
+    q_all: jax.Array,
+    k: int,
+    ef: int,
+    max_iters: int = 0,
+    valid: Optional[jax.Array] = None,
+    n_expand: int = 8,
+    ring_size: int = 512,
+    qchunk: int = 4096,
+) -> Tuple[jax.Array, jax.Array]:
+    """block_beam_search for a large batch in one dispatch (lax.map)."""
+    Q, D = q_all.shape
+    S = Q // qchunk
+
+    def one(q):
+        seeds = jnp.broadcast_to(eps[None, :], (q.shape[0], eps.shape[0]))
+        return block_beam_search(space, seeds, q, k=k, ef=ef,
+                                 max_iters=max_iters, valid=valid,
+                                 n_expand=n_expand, ring_size=ring_size)
+
+    d, i = jax.lax.map(one, q_all.reshape(S, qchunk, D))
+    return d.reshape(Q, k), i.reshape(Q, k)

@@ -13,7 +13,7 @@ reference's 32-core batch throughput at this scale (the reference publishes
 no numbers, BASELINE.md).
 
 Env knobs: ALAYA_BENCH_N (default 100000), ALAYA_BENCH_DIM (128),
-ALAYA_BENCH_Q (10000), ALAYA_BENCH_GRAPH=1 (also bench bsq8 graph),
+ALAYA_BENCH_Q (32768), ALAYA_BENCH_GRAPH=0 (skip the bsq8 graph row),
 ALAYA_BENCH_SMALL=1 (tiny CPU-runnable config).
 """
 
@@ -151,7 +151,7 @@ def main() -> None:
                   ) if False else _last_idx[0]), 1)
     except Exception as e:
         log(f"chip-rate measurement failed: {e}")
-    if os.environ.get("ALAYA_BENCH_GRAPH") == "1":
+    if os.environ.get("ALAYA_BENCH_GRAPH", "1") == "1" and not small:
         rows += measure("bsq8_graph",
                         IndexParams(index_type="hnsw", capacity=n,
                                     max_nbrs=32, ef_construction=200,

@@ -12,8 +12,9 @@ Search semantics match the reference:
   - graph indices: lockstep beam search at width ``ef``; when the search
     space is quantized the ef-pool is reranked with exact distances in the
     build space (index.hpp:450-488).
-  - flat index: tiled exact top-k (no reference analog needed — on TPU the
-    MXU makes brute force competitive to surprisingly large N).
+  - flat index: two-stage MXU scan (bf16 coarse + exact f32 rerank) in one
+    dispatch; "exact" mode keeps single-pass f32. No reference analog —
+    on TPU brute force is competitive to multi-million N.
   - insert: beam-search top-``max_nbrs`` become the new node's edges and the
     touched nodes re-prune, the batched GraphUpdateJob (graph_update_job.hpp:
     36-138).

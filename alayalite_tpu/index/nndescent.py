@@ -13,7 +13,8 @@ round is one jitted program over the whole graph:
      the same semantics as the reference's bounded reservoir `insert`),
   3. a batched distance evaluation (gather + MXU contraction) scores all
      candidates, and
-  4. a sort-dedup + `top_k` merge replaces the per-node heap update.
+  4. a compare-matrix dedup + `top_k` merge replaces the per-node heap
+     update (sort-based dedup measured 87% of a round at 1M).
 
 Convergence is tracked by the number of changed entries per round
 (reference: `update_join_cnt`-style early exit) on the host.

@@ -5,12 +5,12 @@ TPU-native re-design of /root/reference/include/index/graph/nsg/nsg_builder.hpp
 node's vector from the medoid entry point, `sync_prune` with the MRNG rule,
 then locked reverse-edge insertion and a DFS `tree_grow` connectivity repair.
 
-Here every phase is batched:
-  candidates : lockstep beam search of *all* nodes' vectors over the kNN graph
-               (one jitted program per chunk) unioned with the kNN rows,
-  prune      : `occlusion_prune` (MXU pairwise + scanned greedy rule),
-  reverse    : host group-by scatter + one more batched prune of touched nodes,
-  repair     : host BFS + batched nearest-reached attachment
+Here every phase is batched and device-resident (build_phases.py):
+  candidates : lockstep beam search of *all* nodes' vectors over the kNN
+               graph, unioned with the kNN rows,
+  prune      : MRNG occlusion prune (MXU pairwise + scanned greedy rule),
+  reverse    : bounded reverse-edge scatter + batched re-prune,
+  repair     : host BFS + one repair edge per unreached component
                (tree_grow/dfs/attach_unlinked analog, nsg_builder.hpp:500-628).
 """
 

@@ -59,3 +59,22 @@ def test_single_search_and_get_data(ds):
     assert ids.shape == (5,)
     v = idx.get_data_by_id(int(ids[0]))
     np.testing.assert_allclose(v, ds.data[int(ids[0])], rtol=1e-6)
+
+
+def test_device_resident_queries(ds):
+    """jax.Array queries flow through with zero host copies (on-chip
+    embed→search pipelines)."""
+    import jax.numpy as jnp
+
+    idx = Index("t", IndexParams(index_type="hnsw", capacity=N, max_nbrs=16,
+                                 ef_construction=64))
+    idx.fit(ds.data)
+    host_ids = idx.batch_search(ds.queries, K, ef_search=80)
+    dev_ids = idx.batch_search(jnp.asarray(ds.queries), K, ef_search=80)
+    np.testing.assert_array_equal(host_ids, dev_ids)
+
+    fl = Index("f", IndexParams(index_type="flat", capacity=N))
+    fl.fit(ds.data)
+    a = fl.batch_search(ds.queries, K, ef_search=K)
+    b = fl.batch_search(jnp.asarray(ds.queries), K, ef_search=K)
+    np.testing.assert_array_equal(a, b)

@@ -33,48 +33,6 @@ from .search import beam_search
 log = logging.getLogger("alayalite_tpu")
 
 
-def _batched_search_pool(space, nbrs_dev, eps: np.ndarray,
-                         queries: Optional[np.ndarray],
-                         ef: int, chunk: int, n_total: Optional[int] = None,
-                         n_rand_seeds: int = 16, seed: int = 0,
-                         n_queries: Optional[int] = None,
-                         ) -> Tuple[np.ndarray, np.ndarray]:
-    """Beam-search every query over ``nbrs`` returning the full ef-pool.
-
-    ``queries=None`` means "the space's own vectors" (the builders' case) —
-    they are sliced on device, never round-tripped through the host (at 1M
-    that roundtrip is gigabytes through the TPU tunnel).
-
-    Seeds are eps ∪ random nodes — the NSG retset is initialized with random
-    points precisely so pools cover components the entry point can't reach
-    (nsg_builder.hpp search_on_graph's random init)."""
-    n = n_queries if queries is None else queries.shape[0]
-    rng = np.random.default_rng(seed)
-    out_d = np.empty((n, ef), dtype=np.float32)
-    out_i = np.empty((n, ef), dtype=np.int32)
-    eps = np.asarray(eps, dtype=np.int32)
-    n_pool = n_total if n_total is not None else n
-    chunk = min(chunk, n)
-    for lo in range(0, n, chunk):
-        start = min(lo, n - chunk)  # overlap tail instead of padding
-        if queries is None:
-            qj = jax.lax.dynamic_slice_in_dim(space.data, start, chunk
-                                              ).astype(jnp.float32)
-        else:
-            qj = jnp.asarray(queries[start: start + chunk], dtype=jnp.float32)
-        rand = rng.integers(0, n_pool, size=(chunk, n_rand_seeds))
-        seeds_np = np.concatenate(
-            [np.broadcast_to(eps[None, :], (chunk, eps.shape[0])), rand],
-            axis=1).astype(np.int32)
-        d, i = beam_search(space, nbrs_dev, jnp.asarray(seeds_np), qj,
-                           k=ef, ef=ef)
-        out_d[start: start + chunk] = np.asarray(d)
-        out_i[start: start + chunk] = np.asarray(i)
-        if start // chunk % 50 == 49:
-            log.info("search pool: %d/%d", start + chunk, n)
-    return out_d, out_i
-
-
 def find_medoid(space, n: int) -> int:
     """Entry point = node nearest the dataset centroid (nsg_builder.hpp:170-194).
     Fully device-resident: no dataset roundtrip through the host."""

@@ -51,6 +51,11 @@ class Collection:
         _assert(ef_search >= limit, "ef_search must be >= limit")
         ids, dists = self._index.batch_search_with_distance(
             np.atleast_2d(v), limit, ef_search, num_threads)
+        return self._join_results(ids, dists)
+
+    def _join_results(self, ids, dists) -> dict:
+        """Join internal-id results to documents (shared by the direct and
+        micro-batched serving paths)."""
         ret = {"id": [], "document": [], "metadata": [], "distance": []}
         by_id = self._df.set_index("id")
         for row_ids, row_d in zip(ids, dists):

@@ -39,6 +39,9 @@ class ServiceApp:
         os.makedirs(data_dir, exist_ok=True)
         self.client = Client(url=data_dir)
         self._lock = threading.Lock()
+        self._batch_serving = os.environ.get(
+            "ALAYALITE_BATCH_SERVING") == "1"
+        self._servers = {}
         self.routes: Dict[str, Handler] = {
             "/collection/create": self.create_collection,
             "/collection/set_metric": self.set_metric,
@@ -62,6 +65,12 @@ class ServiceApp:
         fn = self.routes.get(path)
         if fn is None:
             return 404, {"error": f"unknown route {path}"}
+        if fn == self.query and self._batch_serving:
+            # batched queries coalesce across threads — don't serialize them
+            try:
+                return fn(body or {})
+            except (TypeError, ValueError) as e:
+                return 422, {"error": str(e)}
         with self._lock:
             try:
                 return fn(body or {})
@@ -132,12 +141,40 @@ class ServiceApp:
         if err:
             return err
         try:
-            result = col.batch_query(req.query_vector, limit=req.limit,
-                                     ef_search=req.ef_search,
-                                     num_threads=req.num_threads)
+            if self._batch_serving:
+                result = self._query_batched(col, req)
+            else:
+                result = col.batch_query(req.query_vector, limit=req.limit,
+                                         ef_search=req.ef_search,
+                                         num_threads=req.num_threads)
             return 200, result
         except Exception as e:
             return 400, {"error": str(e)}
+
+    def _query_batched(self, col, req):
+        """Concurrent micro-batched serving (ALAYALITE_BATCH_SERVING=1):
+        requests from all HTTP threads coalesce in the native queue and ride
+        one jitted search — the TPU analog of the reference's per-query
+        coroutine scheduler. Requests in a batch share the server's ef."""
+        import numpy as np
+
+        from ..serving import SearchServer
+
+        name = col.name
+        srv = self._servers.get(name)
+        if srv is None or srv.topk < req.limit:
+            old = self._servers.pop(name, None)
+            if old is not None:
+                old.close()
+            srv = SearchServer(col._index, topk=max(req.limit, 10),
+                               ef=max(req.ef_search, req.limit),
+                               max_batch=1024, timeout_us=2000)
+            self._servers[name] = srv
+        qs = np.asarray(req.query_vector, dtype=np.float32)
+        futs = [srv.submit(q) for q in np.atleast_2d(qs)]
+        ids = np.stack([f.result()[0][: req.limit] for f in futs])
+        dists = np.stack([f.result()[1][: req.limit] for f in futs])
+        return col._join_results(ids, dists)
 
     def upsert(self, body: dict) -> Tuple[int, Any]:
         req = m.UpsertCollectionRequest(**body)

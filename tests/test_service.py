@@ -155,3 +155,35 @@ def test_http_socket_roundtrip(tmp_path):
         assert b"created successfully" in resp.read()
     finally:
         srv.shutdown()
+
+
+def test_batched_serving_mode(tmp_path, monkeypatch):
+    """ALAYALITE_BATCH_SERVING=1: concurrent queries coalesce through the
+    native queue and results match the direct path."""
+    from alayalite_tpu.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    monkeypatch.setenv("ALAYALITE_BATCH_SERVING", "1")
+    app = create_app(str(tmp_path))
+    app.handle("POST", "/api/v1/collection/create", {"collection_name": "c"})
+    items, emb = _items(48)
+    app.handle("POST", "/api/v1/collection/insert",
+               {"collection_name": "c", "items": items})
+
+    results = {}
+
+    def worker(lo, hi):
+        for i in range(lo, hi):
+            s, res = app.handle("POST", "/api/v1/collection/query", {
+                "collection_name": "c", "query_vector": [emb[i].tolist()],
+                "limit": 1, "ef_search": 10})
+            results[i] = (s, res["id"][0][0] if s == 200 else None)
+
+    ts = [threading.Thread(target=worker, args=(t * 8, t * 8 + 8))
+          for t in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert all(results[i] == (200, i) for i in range(32)), results

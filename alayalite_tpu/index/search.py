@@ -291,7 +291,7 @@ def block_beam_search(
     max_iters: int = 0,
     valid: Optional[jax.Array] = None,
     n_expand: int = 1,
-    ring_size: int = 512,
+    ring_size: int = 256,
 ) -> Tuple[jax.Array, jax.Array]:
     """Beam search over a *block* space (adjacency + quantized neighbor
     payloads packed per node): RaBitQSpace (1-bit + correction factors — the
@@ -453,7 +453,7 @@ def block_search_device(
     max_iters: int = 0,
     valid: Optional[jax.Array] = None,
     n_expand: int = 8,
-    ring_size: int = 512,
+    ring_size: int = 256,
     qchunk: int = 4096,
 ) -> Tuple[jax.Array, jax.Array]:
     """block_beam_search for a large batch in one dispatch (lax.map)."""

@@ -156,7 +156,7 @@ def main() -> None:
                         IndexParams(index_type="hnsw", capacity=n,
                                     max_nbrs=32, ef_construction=200,
                                     quantization_type="bsq8"),
-                        [32, 64, 128])
+                        [24, 32, 64, 128])
 
     ok = [r for r in rows if r["recall"] >= 0.95]
     best = max(ok, key=lambda r: r["qps"]) if ok else \

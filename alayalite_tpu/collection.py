@@ -59,17 +59,21 @@ class Collection:
         ret = {"id": [], "document": [], "metadata": [], "distance": []}
         by_id = self._df.set_index("id")
         for row_ids, row_d in zip(ids, dists):
-            uuids = [self._inner_outer[i] for i in row_ids
+            # filter ids and distances with the SAME mask so a dropped id
+            # mid-list can't shift distances onto the wrong document
+            pairs = [(self._inner_outer[i], float(d))
+                     for i, d in zip(row_ids, row_d)
                      if i in self._inner_outer]
-            if not uuids:
+            if not pairs:
                 for k in ret:
                     ret[k].append([])
                 continue
+            uuids = [u for u, _ in pairs]
             sub = by_id.loc[uuids].reset_index()
             ret["id"].append(sub["id"].tolist())
             ret["document"].append(sub["document"].tolist())
             ret["metadata"].append(sub["metadata"].tolist())
-            ret["distance"].append([float(d) for d in row_d[: len(uuids)]])
+            ret["distance"].append([d for _, d in pairs])
         return ret
 
     def filter_query(self, metadata_filter: dict,

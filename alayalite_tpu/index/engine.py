@@ -292,23 +292,32 @@ class IndexEngine:
         new_ids_np = np.asarray(new_ids)
         # 3. set new rows + add reverse candidates, re-prune touched nodes
         nbrs = np.array(self.graph.nbrs)  # mutable host copy
+        row_r = nbrs.shape[1]  # fusion rows are 2*max_nbrs wide (fusion.py)
         ok = new_ids_np >= 0
-        nbrs[new_ids_np[ok]] = ids_nb[ok]
-        touched = np.unique(ids_nb[ok][ids_nb[ok] >= 0])
+        new_rows = np.full((int(ok.sum()), row_r), -1, dtype=np.int32)
+        new_rows[:, :r] = ids_nb[ok]
+        nbrs[new_ids_np[ok]] = new_rows
+        # invert (new node → its edges) into per-touched-node reverse
+        # candidate lists with one sort — O(batch·r·log), no python loop
+        src = np.repeat(new_ids_np[ok].astype(np.int32), r)
+        dst = ids_nb[ok].reshape(-1).astype(np.int32)
+        keep = dst >= 0
+        src, dst = src[keep], dst[keep]
+        order = np.argsort(dst, kind="stable")
+        dst_s, src_s = dst[order], src[order]
+        touched, start, counts = np.unique(dst_s, return_index=True,
+                                           return_counts=True)
         if touched.size:
-            # candidates = existing edges ∪ the new node(s) pointing at them
-            width = nbrs.shape[1] + nq
+            width = row_r + int(counts.max())
             cand = np.full((touched.size, width), -1, dtype=np.int32)
-            cand[:, : nbrs.shape[1]] = nbrs[touched]
-            for col, nid in enumerate(new_ids_np):
-                if nid < 0:
-                    continue
-                sel = np.isin(touched, ids_nb[col][ids_nb[col] >= 0])
-                cand[sel, nbrs.shape[1] + col] = nid
+            cand[:, :row_r] = nbrs[touched]
+            pos = np.arange(dst_s.size) - np.repeat(start, counts)
+            cand[np.repeat(np.arange(touched.size), counts),
+                 row_r + pos] = src_s
             from .nsg import _gather_dists_chunked
 
             cd = _gather_dists_chunked(self.space, touched, cand, 2048)
-            pruned = occlusion_prune(self.space, touched, cd, cand, r=r)
+            pruned = occlusion_prune(self.space, touched, cd, cand, r=row_r)
             nbrs[touched] = pruned
         self.graph = Graph(nbrs=jnp.asarray(nbrs), eps=self.graph.eps,
                            overlay=self.graph.overlay)

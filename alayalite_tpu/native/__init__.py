@@ -126,6 +126,12 @@ class BatchQueue:
 
     def push(self, ticket: int, vec: np.ndarray) -> None:
         v = np.ascontiguousarray(vec, dtype=np.float32)
+        if v.shape != (self.dim,):
+            # al_bq_push memcpy's dim*4 bytes from this buffer — a shorter
+            # vector would be an out-of-bounds read in the native queue
+            raise ValueError(
+                f"query dimension mismatch: got shape {v.shape}, "
+                f"expected ({self.dim},)")
         rc = self._lib.al_bq_push(self._q, ticket,
                                   v.ctypes.data_as(ctypes.c_void_p))
         if rc != 0:

@@ -86,9 +86,11 @@ class IndexParams:
     # entries popped per lockstep hop (CAGRA-style multi-expansion); 1 ==
     # strictly-greedy reference semantics, 8 is the TPU sweet spot (tune_hops.py).
     beam_expand: int = 8
-    # flat index scan mode: "fast" = bf16 MXU scan + f32 rerank (recall
-    # ≥ 0.999 vs exact, ~8x faster); "exact" = single-pass full precision.
-    flat_mode: str = "fast"
+    # flat index scan mode: "exact" (default) = single-pass full-precision
+    # brute force, matching the reference's exact FLAT semantics; "fast" =
+    # bf16 MXU scan + approx selection + f32 rerank (recall ≥ 0.999 vs
+    # exact, ~8x faster) — opt in for throughput.
+    flat_mode: str = "exact"
 
     def __post_init__(self) -> None:
         self.index_type = IndexType.parse(self.index_type)

@@ -42,6 +42,11 @@ class ServiceApp:
         self._batch_serving = os.environ.get(
             "ALAYALITE_BATCH_SERVING") == "1"
         self._servers = {}
+        # dedicated lock for the SearchServer cache: batched queries skip
+        # self._lock (they coalesce across threads), so cache get/create/
+        # close must have their own guard or two threads can race to create
+        # duplicate servers / close one mid-submit
+        self._servers_lock = threading.Lock()
         self.routes: Dict[str, Handler] = {
             "/collection/create": self.create_collection,
             "/collection/set_metric": self.set_metric,
@@ -160,18 +165,31 @@ class ServiceApp:
 
         from ..serving import SearchServer
 
+        qs = np.atleast_2d(np.asarray(req.query_vector, dtype=np.float32))
+        dim = col._index.get_dim()
+        if qs.shape[-1] != dim:
+            raise ValueError(
+                "Vector dimension must match the index dimension.")
         name = col.name
-        srv = self._servers.get(name)
-        if srv is None or srv.topk < req.limit:
-            old = self._servers.pop(name, None)
-            if old is not None:
-                old.close()
-            srv = SearchServer(col._index, topk=max(req.limit, 10),
-                               ef=max(req.ef_search, req.limit),
-                               max_batch=1024, timeout_us=2000)
-            self._servers[name] = srv
-        qs = np.asarray(req.query_vector, dtype=np.float32)
-        futs = [srv.submit(q) for q in np.atleast_2d(qs)]
+        want_ef = max(req.ef_search, req.limit)
+        with self._servers_lock:
+            srv = self._servers.get(name)
+            # rebuild when either topk or ef outgrows the cached server —
+            # requests in a batch share the server's (topk, ef)
+            if srv is None or srv.topk < req.limit or srv.ef < want_ef:
+                old = self._servers.pop(name, None)
+                if old is not None:
+                    old.close()
+                srv = SearchServer(col._index,
+                                   topk=max(req.limit, 10,
+                                            old.topk if old else 0),
+                                   ef=max(want_ef, old.ef if old else 0),
+                                   max_batch=1024, timeout_us=2000)
+                self._servers[name] = srv
+            # submit under the lock (non-blocking push) so a concurrent
+            # rebuild can't close this server mid-submit; only the
+            # fut.result() waits happen unlocked
+            futs = [srv.submit(q) for q in qs]
         ids = np.stack([f.result()[0][: req.limit] for f in futs])
         dists = np.stack([f.result()[1][: req.limit] for f in futs])
         return col._join_results(ids, dists)

@@ -144,7 +144,8 @@ def main() -> None:
 
     rows = []
     rows += measure("flat_fast",
-                    IndexParams(index_type="flat", capacity=n), [topk])
+                    IndexParams(index_type="flat", capacity=n,
+                                flat_mode="fast"), [topk])
     try:
         rows[0]["qps_chip"] = round(chip_rate_flat(
             Index("chip", IndexParams(index_type="flat", capacity=n),

@@ -52,8 +52,8 @@ def main() -> None:
         ("hnsw_sq8", dict(index_type="hnsw", quantization_type="sq8")),
         ("rabitq", dict(index_type="hnsw", quantization_type="rabitq")),
         ("bsq8", dict(index_type="hnsw", quantization_type="bsq8")),
-        ("flat_f32", dict(index_type="flat")),
-        ("flat_bf16", dict(index_type="flat", storage_dtype="bfloat16")),
+        ("flat_f32", dict(index_type="flat", flat_mode="fast")),
+        ("flat_bf16", dict(index_type="flat", storage_dtype="bfloat16", flat_mode="fast")),
     ]
     only = os.environ.get("BV_ONLY")
     for name, kw in configs:

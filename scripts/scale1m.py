@@ -31,7 +31,7 @@ def bench(name, kw, efs):
 
 only = os.environ.get("S1M_ONLY", "flat,bsq8")
 if "flat" in only:
-    bench("flat_fast", dict(index_type="flat"), [10])
+    bench("flat_fast", dict(index_type="flat", flat_mode="fast"), [10])
 if "bsq8" in only:
     bench("bsq8", dict(index_type="hnsw", quantization_type="bsq8"), [32, 64, 128])
 if "hnsw" in only:

@@ -84,3 +84,18 @@ def test_set_metric_guard():
     col.insert(items)
     with pytest.raises(RuntimeError):
         col.set_metric("l2")
+
+
+def test_join_results_alignment_with_missing_ids():
+    """Distances must stay paired with their documents when an internal id
+    is missing from the uuid map mid-list (regression: positional
+    truncation paired distances with the wrong document)."""
+    col = Collection("c", IndexParams(index_type="flat", capacity=64))
+    emb = np.eye(4, 8, dtype=np.float32)
+    col.insert([(f"u{i}", f"doc {i}", emb[i], {}) for i in range(4)])
+    # fake a search result whose middle id (7) is unknown to the collection
+    ids = np.array([[0, 7, 2]], dtype=np.int32)
+    dists = np.array([[0.0, 0.5, 2.0]], dtype=np.float32)
+    res = col._join_results(ids, dists)
+    assert res["id"][0] == ["u0", "u2"]
+    assert res["distance"][0] == [0.0, 2.0]  # 2.0 pairs with u2, not 0.5

@@ -187,3 +187,40 @@ def test_batched_serving_mode(tmp_path, monkeypatch):
     for t in ts:
         t.join()
     assert all(results[i] == (200, i) for i in range(32)), results
+
+
+def test_batched_serving_ef_upgrade_and_bad_dim(tmp_path, monkeypatch):
+    """A later request with larger ef_search must rebuild the cached server
+    (not silently run at the first request's ef), and a wrong-dimension
+    query must be rejected with 400, never reach the native queue."""
+    from alayalite_tpu.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    monkeypatch.setenv("ALAYALITE_BATCH_SERVING", "1")
+    app = create_app(str(tmp_path))
+    app.handle("POST", "/api/v1/collection/create", {"collection_name": "c"})
+    items, emb = _items(48)
+    app.handle("POST", "/api/v1/collection/insert",
+               {"collection_name": "c", "items": items})
+
+    s, _ = app.handle("POST", "/api/v1/collection/query", {
+        "collection_name": "c", "query_vector": [emb[0].tolist()],
+        "limit": 1, "ef_search": 10})
+    assert s == 200
+    srv1 = app._servers["c"]
+    assert srv1.ef == 10
+
+    s, _ = app.handle("POST", "/api/v1/collection/query", {
+        "collection_name": "c", "query_vector": [emb[0].tolist()],
+        "limit": 1, "ef_search": 40})
+    assert s == 200
+    srv2 = app._servers["c"]
+    assert srv2 is not srv1 and srv2.ef >= 40
+
+    # wrong dimension: 400, and the server cache is untouched
+    s, body = app.handle("POST", "/api/v1/collection/query", {
+        "collection_name": "c", "query_vector": [[1.0, 2.0]],
+        "limit": 1, "ef_search": 40})
+    assert s == 400 and "dimension" in str(body)
+    assert app._servers["c"] is srv2

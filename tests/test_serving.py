@@ -40,3 +40,47 @@ def test_unfitted_server_rejected():
     idx = Index("u", IndexParams(index_type="flat", capacity=10))
     with pytest.raises(RuntimeError):
         SearchServer(idx)
+
+
+def test_push_rejects_wrong_dimension():
+    """BatchQueue.push memcpy's dim*4 bytes — a shorter vector must raise,
+    not read out of bounds (regression: unvalidated heap read)."""
+    from alayalite_tpu.native import BatchQueue
+
+    q = BatchQueue(dim=16, capacity=32, max_batch=8, timeout_us=1000)
+    try:
+        with pytest.raises(ValueError, match="dimension"):
+            q.push(0, np.ones(8, dtype=np.float32))
+        with pytest.raises(ValueError, match="dimension"):
+            q.push(0, np.ones((2, 16), dtype=np.float32))
+        q.push(0, np.ones(16, dtype=np.float32))  # correct dim still works
+    finally:
+        q.close()
+
+
+def test_error_propagates_to_all_waiters():
+    """A batch whose search raises must fail every future in the batch,
+    and the server must keep serving afterwards."""
+    ds = random_dataset(n=100, dim=8, n_queries=0, seed=5)
+    idx = Index("e", IndexParams(index_type="flat", capacity=100))
+    idx.fit(ds.data)
+    server = SearchServer(idx, topk=3, ef=10, max_batch=8, timeout_us=3000)
+    try:
+        orig = idx._engine.batch_search_with_distance
+        calls = {"n": 0}
+
+        def flaky(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected failure")
+            return orig(*a, **kw)
+
+        idx._engine.batch_search_with_distance = flaky
+        fut = server.submit(ds.data[0])
+        with pytest.raises(RuntimeError, match="injected"):
+            fut.result(timeout=10)
+        ids, _ = server.search(ds.data[1])
+        assert int(ids[0]) == 1
+    finally:
+        idx._engine.batch_search_with_distance = orig
+        server.close()

@@ -4,13 +4,17 @@ Prints ONE JSON line to stdout:
     {"metric": ..., "value": N, "unit": "qps", "vs_baseline": N}
 
 Workload (BASELINE.md eval configs, network-free): synthetic SIFT-like
-clustered data (100k × 128, L2). The headline config is the measured winner
-on v5e (scripts/headline.py): the two-stage flat scan — bf16 MXU coarse pass
-with approx_max_k selection + exact f32 rerank — at recall ≈ 1.0, plus the
-best graph config (block-SQ8 quantized graph) when ALAYA_BENCH_GRAPH=1.
-``vs_baseline`` divides by 100k QPS — the documented estimate of the C++
-reference's 32-core batch throughput at this scale (the reference publishes
-no numbers, BASELINE.md).
+clustered data (100k × 128, L2), the same dataset the reference itself was
+measured on (scripts/reference_baseline/, results/reference_baseline.json).
+
+``vs_baseline`` divides the best device-resident QPS at recall@10 ≥ 0.95 by
+the MEASURED reference baseline: 7,224 QPS single-core on this host's CPU
+(HNSW ef=48, recall 0.973) × 32 — the linear 32-core upper bound, 231,158
+QPS (BASELINE.md "Measured reference baseline"). Device-resident rate is
+the honest chip number: this test harness reaches the TPU through a tunnel
+with a ~35 ms dispatch floor and ~20-50 MB/s host link (measured,
+scripts/io_probe.py) that caps *any* end-to-end number near 65k QPS
+regardless of compute; e2e tunnel QPS is still reported per row ("qps").
 
 Env knobs: ALAYA_BENCH_N (default 100000), ALAYA_BENCH_DIM (128),
 ALAYA_BENCH_Q (32768), ALAYA_BENCH_GRAPH=0 (skip the bsq8 graph row),
@@ -28,7 +32,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_QPS = 100_000.0
+# measured: 7,223.7 QPS x 32 cores (results/reference_baseline.json;
+# single-core measured on this host, linear multi-core upper bound)
+BASELINE_QPS = 231_158.0
 
 
 def log(*a):
@@ -160,11 +166,11 @@ def main() -> None:
                         [24, 32, 64, 128])
 
     ok = [r for r in rows if r["recall"] >= 0.95]
-    best = max(ok, key=lambda r: r["qps"]) if ok else \
+    best = max(ok, key=lambda r: r["qps_dev"]) if ok else \
         max(rows, key=lambda r: r["recall"])
-    value = best["qps"] if best["recall"] >= 0.95 else 0.0
+    value = best["qps_dev"] if best["recall"] >= 0.95 else 0.0
     out = {
-        "metric": "batch_qps@recall10>=0.95_synthetic_sift100k",
+        "metric": "device_qps@recall10>=0.95_synthetic_sift100k",
         "value": round(value, 1),
         "unit": "qps",
         "vs_baseline": round(value / BASELINE_QPS, 4),

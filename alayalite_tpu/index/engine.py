@@ -268,11 +268,7 @@ class IndexEngine:
         self._require_fitted()
         if self.params.quantization_type in (QuantizationType.RABITQ,
                                              QuantizationType.BSQ8):
-            raise RuntimeError(
-                "online insert into a block-quantized (QG) index is not "
-                "supported; "
-                "rebuild with fit() (the packed neighbor blocks are "
-                "build-time artifacts)")
+            return self._insert_block(vectors, ef)
         v = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
         nq = v.shape[0]
         r = self.params.max_nbrs
@@ -297,23 +293,9 @@ class IndexEngine:
         new_rows = np.full((int(ok.sum()), row_r), -1, dtype=np.int32)
         new_rows[:, :r] = ids_nb[ok]
         nbrs[new_ids_np[ok]] = new_rows
-        # invert (new node → its edges) into per-touched-node reverse
-        # candidate lists with one sort — O(batch·r·log), no python loop
-        src = np.repeat(new_ids_np[ok].astype(np.int32), r)
-        dst = ids_nb[ok].reshape(-1).astype(np.int32)
-        keep = dst >= 0
-        src, dst = src[keep], dst[keep]
-        order = np.argsort(dst, kind="stable")
-        dst_s, src_s = dst[order], src[order]
-        touched, start, counts = np.unique(dst_s, return_index=True,
-                                           return_counts=True)
+        touched, rev = _reverse_candidates(new_ids_np[ok], ids_nb[ok])
         if touched.size:
-            width = row_r + int(counts.max())
-            cand = np.full((touched.size, width), -1, dtype=np.int32)
-            cand[:, :row_r] = nbrs[touched]
-            pos = np.arange(dst_s.size) - np.repeat(start, counts)
-            cand[np.repeat(np.arange(touched.size), counts),
-                 row_r + pos] = src_s
+            cand = np.concatenate([nbrs[touched], rev], axis=1)
             from .nsg import _gather_dists_chunked
 
             cd = _gather_dists_chunked(self.space, touched, cand, 2048)
@@ -321,6 +303,48 @@ class IndexEngine:
             nbrs[touched] = pruned
         self.graph = Graph(nbrs=jnp.asarray(nbrs), eps=self.graph.eps,
                            overlay=self.graph.overlay)
+        return new_ids_np
+
+    def _insert_block(self, vectors, ef: int = 100) -> np.ndarray:
+        """Online insert into a block-quantized (QG) index: beam-search the
+        new nodes' edges, append raw vectors, set + requantize the new nodes'
+        neighbor blocks, and re-select + requantize every touched node's
+        block (candidates = current edges ∪ new nodes, top-r by distance —
+        the reference's GraphUpdateJob::update semantics,
+        graph_update_job.hpp:105-137, with RaBitQSpace::update_nei's
+        per-node requantization, rabitq_space.hpp:138-161)."""
+        v = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        r = self.search_space.degree
+        ids_nb, _d = self.batch_search_with_distance(v, r, ef=max(ef, r))
+        self.space, new_ids = self.space.insert(jnp.asarray(v))
+        self.search_space, _ = self.search_space.insert_raw(jnp.asarray(v))
+        new_ids_np = np.asarray(new_ids)
+        ok = new_ids_np >= 0
+        if not ok.any():
+            return new_ids_np
+        new_rows = np.asarray(ids_nb[ok], dtype=np.int32)
+
+        touched, rev = _reverse_candidates(new_ids_np[ok], new_rows)
+        all_ids = new_ids_np[ok]
+        all_rows = new_rows
+        if touched.size:
+            cur = np.asarray(self.search_space.nbr_ids[jnp.asarray(touched)])
+            cand = np.concatenate([cur, rev], axis=1)
+            cand = np.where(cand == touched[:, None], -1, cand)  # no self-loop
+            from .nsg import _gather_dists_chunked
+
+            cd = _gather_dists_chunked(self.space, touched, cand, 2048)
+            rows_touched = np.asarray(
+                _topr_dedup(jnp.asarray(cd), jnp.asarray(cand), r))
+            all_ids = np.concatenate([all_ids, touched])
+            all_rows = np.concatenate([all_rows, rows_touched], axis=0)
+        # one batched requantization covers new + touched blocks
+        self.search_space = self.search_space.set_neighbor_rows(all_ids,
+                                                                all_rows)
+        ids_j = jnp.asarray(all_ids)
+        rows_j = self.search_space.nbr_ids[ids_j]
+        self.graph = Graph(nbrs=self.graph.nbrs.at[ids_j].set(rows_j),
+                           eps=self.graph.eps, overlay=self.graph.overlay)
         return new_ids_np
 
     def remove(self, ids) -> None:
@@ -387,6 +411,39 @@ class IndexEngine:
                     eng.search_space = type(qspace).load_arrays(dict(z.items()))
         eng._fitted = True
         return eng
+
+
+def _reverse_candidates(src_ids: np.ndarray, dst_rows: np.ndarray):
+    """Invert (source node → its edge list) into per-destination candidate
+    lists: one stable sort, no python loop. Returns (touched [T] i32,
+    rev [T, maxc] i32 -1-padded) where rev lists the sources pointing at
+    each touched destination."""
+    r = dst_rows.shape[1]
+    src = np.repeat(np.asarray(src_ids, dtype=np.int32), r)
+    dst = np.asarray(dst_rows, dtype=np.int32).reshape(-1)
+    keep = dst >= 0
+    src, dst = src[keep], dst[keep]
+    if not dst.size:
+        return (np.empty(0, np.int32), np.empty((0, 0), np.int32))
+    order = np.argsort(dst, kind="stable")
+    dst_s, src_s = dst[order], src[order]
+    touched, start, counts = np.unique(dst_s, return_index=True,
+                                       return_counts=True)
+    rev = np.full((touched.size, int(counts.max())), -1, dtype=np.int32)
+    pos = np.arange(dst_s.size) - np.repeat(start, counts)
+    rev[np.repeat(np.arange(touched.size), counts), pos] = src_s
+    return touched.astype(np.int32), rev
+
+
+@functools.partial(jax.jit, static_argnames=("r",))
+def _topr_dedup(cand_d: jax.Array, cand_i: jax.Array, r: int):
+    """Top-r candidates by distance with duplicate ids dropped (keep-best) —
+    the reference update()'s candidate re-selection
+    (graph_update_job.hpp:105-137)."""
+    from .prune import _sort_dedup
+
+    _, ids = _sort_dedup(cand_d, cand_i)
+    return ids[:, :r]
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -1,6 +1,8 @@
 from .sharded import (
     ShardedFlatIndex,
+    ShardedGraphIndex,
     db_sharded_flat_search,
+    db_sharded_graph_search,
     dp_sharded_beam_search,
     make_mesh,
     shard_space_by_rows,
@@ -8,7 +10,9 @@ from .sharded import (
 
 __all__ = [
     "ShardedFlatIndex",
+    "ShardedGraphIndex",
     "db_sharded_flat_search",
+    "db_sharded_graph_search",
     "dp_sharded_beam_search",
     "make_mesh",
     "shard_space_by_rows",

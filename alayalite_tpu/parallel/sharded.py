@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.distance import pairwise, sqnorms
+from ..ops.distance import normalize_rows, pairwise, sqnorms
 
 FINF = float("inf")  # plain python: jnp constants at module level would init the backend at import
 
@@ -118,6 +118,135 @@ def dp_sharded_beam_search(mesh: Mesh, space, nbrs, seeds, queries,
     if valid is not None:
         valid = jax.device_put(valid, NamedSharding(mesh, P()))
     return beam_search(space, nbrs, seeds, queries, k=k, ef=ef, valid=valid)
+
+
+def db_sharded_graph_search(mesh: Mesh, space_leaves, metric: str,
+                            nbrs: jax.Array, eps: jax.Array,
+                            queries: jax.Array, k: int, ef: int,
+                            n_expand: int = 8):
+    """Graph beam search over a row-partitioned database.
+
+    Every "db" shard holds its own subgraph (local adjacency over its own
+    rows) and runs the full lockstep beam for ALL queries on its slice in
+    parallel; one `all_gather` over ICI merges the per-shard top-k — the
+    graph analog of db_sharded_flat_search. Queries shard over "dp".
+
+    space_leaves: (data [C,D], sq_norms [C], valid [C]) row-sharded over
+    "db"; nbrs [C,R] row-sharded with *local* neighbor ids; eps [ndb, E]
+    per-shard entry points (local ids).
+    """
+    from ..index.search import beam_search
+    from ..spaces.raw import RawSpace
+
+    data, sq, valid = space_leaves
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("dp", None), P("db", None), P("db"), P("db"),
+                  P("db", None), P("db", None)),
+        out_specs=(P("dp", None), P("dp", None)),
+        check_vma=False,
+    )
+    def _search(q, data, sq, valid, nbrs, eps):
+        shard_rows = data.shape[0]
+        space = RawSpace(data=data, sq_norms=sq, valid=valid,
+                         num=jnp.asarray(shard_rows, jnp.int32),
+                         metric=metric, user_metric=metric)
+        seeds = jnp.broadcast_to(eps.reshape(1, -1), (q.shape[0], eps.size))
+        d, i = beam_search(space, nbrs, seeds, q, k=k, ef=ef,
+                           valid=valid, n_expand=n_expand)
+        i = jnp.where(i >= 0, i + jax.lax.axis_index("db") * shard_rows, -1)
+        dd = jax.lax.all_gather(d, "db", axis=1).reshape(q.shape[0], -1)
+        ii = jax.lax.all_gather(i, "db", axis=1).reshape(q.shape[0], -1)
+        nd, sel = jax.lax.top_k(-dd, k)
+        out_i = jnp.take_along_axis(ii, sel, axis=1)
+        return -nd, jnp.where(jnp.isfinite(-nd), out_i, -1)
+
+    return _search(queries, data, sq, valid, nbrs, eps)
+
+
+class ShardedGraphIndex:
+    """Multi-chip graph index: rows partitioned over the mesh's "db" axis,
+    one independent subgraph per shard, fan-out search + ICI top-k merge.
+
+    This is the scale-out decomposition the reference has no analog for
+    (SURVEY.md §2c "multi-core scaling knob", done for the *graph* path):
+    per-shard subindexes mean no cross-shard edges and therefore no halo
+    exchange inside the beam loop — each shard's beam is the plain
+    single-chip program on its slice, and the only collective is the final
+    ef-pool merge. Capacity and build time scale linearly with the mesh;
+    recall matches a single graph at equal per-shard ef (each query scans
+    ndb smaller graphs, strictly wider coverage).
+    """
+
+    def __init__(self, mesh: Optional[Mesh] = None, metric: str = "l2",
+                 max_nbrs: int = 16, ef_construction: int = 100,
+                 builder: str = "nsg"):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.metric = metric.lower()
+        self.max_nbrs = max_nbrs
+        self.ef_construction = ef_construction
+        self.builder = builder
+        self._leaves = None
+
+    def fit(self, vectors: np.ndarray) -> None:
+        from ..index.hnsw import HNSWBuilder
+        from ..index.nsg import NSGBuilder
+        from ..spaces.raw import RawSpace
+
+        v = np.asarray(vectors, dtype=np.float32)
+        n, dim = v.shape
+        ndb = self.mesh.shape["db"]
+        per = -(-n // ndb)
+        datas, sqs, valids, nbrs_l, eps_l = [], [], [], [], []
+        n_eps = 8
+        for s in range(ndb):
+            rows = v[s * per: (s + 1) * per]
+            space = RawSpace.create(per, dim, metric=self.metric).fit(rows)
+            if self.builder == "hnsw":
+                b = HNSWBuilder(r=self.max_nbrs, l=self.ef_construction,
+                                seed=s)
+            else:
+                b = NSGBuilder(r=self.max_nbrs,
+                               l=max(self.ef_construction // 2, 64), seed=s)
+            g = b.build_graph(space, rows.shape[0])
+            datas.append(np.asarray(space.data, dtype=np.float32))
+            sqs.append(np.asarray(space.sq_norms))
+            valids.append(np.asarray(space.valid))
+            nbrs_l.append(np.asarray(g.nbrs[:, : self.max_nbrs]))
+            e = np.full(n_eps, 0, dtype=np.int32)
+            eg = np.asarray(g.eps)
+            e[: min(len(eg), n_eps)] = eg[:n_eps]
+            eps_l.append(e)
+        put = lambda x, spec: jax.device_put(  # noqa: E731
+            np.asarray(x), NamedSharding(self.mesh, spec))
+        self._leaves = (
+            put(np.concatenate(datas), P("db", None)),
+            put(np.concatenate(sqs), P("db")),
+            put(np.concatenate(valids), P("db")),
+        )
+        self._nbrs = put(np.concatenate(nbrs_l), P("db", None))
+        self._eps = put(np.stack(eps_l), P("db", None))
+        self._per = per
+        self._n = n
+
+    def batch_search_with_distance(self, queries: np.ndarray, topk: int,
+                                   ef_search: int = 100):
+        if self._leaves is None:
+            raise RuntimeError("index is not fitted")
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
+        if self.metric == "cos":
+            q = normalize_rows(q)
+        d, i = db_sharded_graph_search(
+            self.mesh, self._leaves, "ip" if self.metric in ("ip", "cos")
+            else "l2", self._nbrs, self._eps, q, k=topk,
+            ef=max(ef_search, topk))
+        return np.asarray(i), np.asarray(d)
+
+    def batch_search(self, queries: np.ndarray, topk: int,
+                     ef_search: int = 100) -> np.ndarray:
+        ids, _ = self.batch_search_with_distance(queries, topk, ef_search)
+        return ids
 
 
 class ShardedFlatIndex:

@@ -120,6 +120,50 @@ class BQGSpace:
                 jnp.asarray(start, jnp.int32), chunk=chunk)
         return self.replace(nbr_ids=nbrs_dev, nbr_codes=codes, nbr_xsq=xsq)
 
+    def insert_raw(self, vectors: jax.Array) -> Tuple["BQGSpace", jax.Array]:
+        """Append raw vectors at the bump pointer (RawSpace.insert semantics:
+        slots past capacity drop with id -1). Neighbor blocks for the new
+        nodes are set separately via set_neighbor_rows. Quantizer params
+        (dmin/scale) stay fixed — the global grid from fit() keeps old codes
+        valid; out-of-range inserts clip (SQ8-grade estimate degradation,
+        exact rerank unaffected)."""
+        v = jnp.asarray(vectors, dtype=jnp.float32)
+        if v.ndim == 1:
+            v = v[None, :]
+        if self.user_metric == "cos":
+            v = normalize_rows(v)
+        b = v.shape[0]
+        start = self.num
+        ids = start + jnp.arange(b, dtype=jnp.int32)
+        ok = ids < self.capacity
+        slot = jnp.where(ok, ids, 0)
+        data = self.data.at[slot].set(
+            jnp.where(ok[:, None], v, self.data[slot]))
+        sq = self.sq_norms.at[slot].set(
+            jnp.where(ok, jnp.sum(v * v, axis=-1), self.sq_norms[slot]))
+        valid = self.valid.at[slot].set(jnp.where(ok, True, self.valid[slot]))
+        new_num = jnp.minimum(start + b, self.capacity).astype(jnp.int32)
+        return (self.replace(data=data, sq_norms=sq, valid=valid,
+                             num=new_num),
+                jnp.where(ok, ids, -1))
+
+    def set_neighbor_rows(self, node_ids, rows) -> "BQGSpace":
+        """Set adjacency rows for arbitrary nodes and re-encode their packed
+        blocks — the online-update analog of the reference's per-node
+        update_nei (rabitq_space.hpp:138-161), SQ8 edition."""
+        ids = jnp.atleast_1d(jnp.asarray(node_ids, dtype=jnp.int32))
+        rows = jnp.asarray(rows, dtype=jnp.int32)
+        r = self.degree
+        if rows.shape[1] < r:
+            rows = jnp.pad(rows, ((0, 0), (0, r - rows.shape[1])),
+                           constant_values=-1)
+        rows = rows[:, :r]
+        codes, xsq = _encode_block(self.data, self.dmin, self.scale, rows)
+        return self.replace(
+            nbr_ids=self.nbr_ids.at[ids].set(rows),
+            nbr_codes=self.nbr_codes.at[ids].set(codes),
+            nbr_xsq=self.nbr_xsq.at[ids].set(xsq))
+
     # ---- query-side (block-search protocol) ----
     def query_ctx(self, q: jax.Array):
         """Per-batch precompute: (q, q∘scale bf16, |q|² − 2·q·(m + 128 s)).

@@ -157,6 +157,50 @@ class RaBitQSpace:
         return self.replace(nbr_ids=nbrs_dev, nbr_bits=bits_buf,
                             f_add=fa_buf, f_rescale=fr_buf)
 
+    @property
+    def degree(self) -> int:
+        return self.nbr_ids.shape[1]
+
+    def insert_raw(self, vectors: jax.Array) -> Tuple["RaBitQSpace", jax.Array]:
+        """Append raw vectors at the bump pointer (RawSpace.insert
+        semantics); neighbor blocks come via set_neighbor_rows."""
+        v = jnp.asarray(vectors, dtype=jnp.float32)
+        if v.ndim == 1:
+            v = v[None, :]
+        if self.user_metric == "cos":
+            v = normalize_rows(v)
+        b = v.shape[0]
+        start = self.num
+        ids = start + jnp.arange(b, dtype=jnp.int32)
+        ok = ids < self.capacity
+        slot = jnp.where(ok, ids, 0)
+        data = self.data.at[slot].set(
+            jnp.where(ok[:, None], v, self.data[slot]))
+        sq = self.sq_norms.at[slot].set(
+            jnp.where(ok, jnp.sum(v * v, axis=-1), self.sq_norms[slot]))
+        valid = self.valid.at[slot].set(jnp.where(ok, True, self.valid[slot]))
+        new_num = jnp.minimum(start + b, self.capacity).astype(jnp.int32)
+        return (self.replace(data=data, sq_norms=sq, valid=valid,
+                             num=new_num),
+                jnp.where(ok, ids, -1))
+
+    def set_neighbor_rows(self, node_ids, rows) -> "RaBitQSpace":
+        """Set adjacency rows for arbitrary nodes and requantize their
+        blocks — the reference's per-node update_nei
+        (rabitq_space.hpp:138-161) as one batched device op."""
+        ids = jnp.atleast_1d(jnp.asarray(node_ids, dtype=jnp.int32))
+        rows = jnp.asarray(rows, dtype=jnp.int32)
+        if rows.shape[1] < DEGREE:
+            rows = jnp.pad(rows, ((0, 0), (0, DEGREE - rows.shape[1])),
+                           constant_values=-1)
+        rows = rows[:, :DEGREE]
+        bits, fa, fr = _quantize_block(self.data, self.rot, ids, rows)
+        return self.replace(
+            nbr_ids=self.nbr_ids.at[ids].set(rows),
+            nbr_bits=self.nbr_bits.at[ids].set(_pack_bits_jnp(bits)),
+            f_add=self.f_add.at[ids].set(fa),
+            f_rescale=self.f_rescale.at[ids].set(fr))
+
     def remove(self, ids: jax.Array) -> "RaBitQSpace":
         ids = jnp.atleast_1d(jnp.asarray(ids, dtype=jnp.int32))
         safe = jnp.clip(ids, 0, self.capacity - 1)

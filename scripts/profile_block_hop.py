@@ -77,39 +77,46 @@ def timeit(name, fn, *args):
 
 
 def loop(body):
+    # big arrays MUST be jit arguments: captured constants ship with the
+    # remote-compile request through the tunnel (HTTP 413 on the 400MB
+    # codes tensor) — CLAUDE.md TPU rules
     @jax.jit
-    def run(pool_d, pool_i, pool_c, ring):
+    def run(codes, nids, xsq, qs, qconst, pool_d, pool_i, pool_c, ring):
+        env = (codes, nids, xsq, qs, qconst)
+
         def f(i, carry):
-            return body(i, carry)
+            return body(i, carry, env)
         return jax.lax.fori_loop(0, ITERS, f, (pool_d, pool_i, pool_c, ring))
     return run
 
 
-def pops(i, pool_d, pool_c):
+def pops(i, pool_d, pool_i, pool_c):
     cand = jnp.where((~pool_c) & jnp.isfinite(pool_d), pool_d, jnp.inf)
     negd, sel = jax.lax.top_k(-cand, M)
-    u = jnp.take_along_axis(pool_i0, sel, axis=1)
+    u = jnp.take_along_axis(pool_i, sel, axis=1)
     return (u + i) % N, sel, jnp.isfinite(-negd)
 
 
-def body_pop(i, carry):
+def body_pop(i, carry, env):
     pool_d, pool_i, pool_c, ring = carry
-    u, sel, act = pops(i, pool_d, pool_c)
+    u, sel, act = pops(i, pool_d, pool_i, pool_c)
     pool_d = pool_d + 1e-12 * u[:, :1]
     return pool_d, pool_i, pool_c, ring
 
 
-def body_gather(i, carry):
+def body_gather(i, carry, env):
+    codes, nids, xsq, qs, qconst = env
     pool_d, pool_i, pool_c, ring = carry
-    u, sel, act = pops(i, pool_d, pool_c)
+    u, sel, act = pops(i, pool_d, pool_i, pool_c)
     c = codes[u]                                   # [B, M, R, D]
     pool_d = pool_d + 1e-12 * c[:, 0, 0, 0].astype(jnp.float32)[:, None]
     return pool_d, pool_i, pool_c, ring
 
 
-def body_estimate(i, carry):
+def body_estimate(i, carry, env):
+    codes, nids, xsq, qs, qconst = env
     pool_d, pool_i, pool_c, ring = carry
-    u, sel, act = pops(i, pool_d, pool_c)
+    u, sel, act = pops(i, pool_d, pool_i, pool_c)
     c = codes[u].reshape(B, K, D)
     cf = (c.astype(jnp.int16) - 128).astype(jnp.bfloat16)
     dot = jnp.einsum("bkd,bd->bk", cf, qs, preferred_element_type=jnp.float32)
@@ -118,9 +125,10 @@ def body_estimate(i, carry):
     return pool_d, pool_i, pool_c, ring
 
 
-def body_ring(i, carry):
+def body_ring(i, carry, env):
+    codes, nids, xsq, qs, qconst = env
     pool_d, pool_i, pool_c, ring = carry
-    u, sel, act = pops(i, pool_d, pool_c)
+    u, sel, act = pops(i, pool_d, pool_i, pool_c)
     cand = nids[u].reshape(B, K)
     fresh = _ring_fresh(ring, pool_i, cand)
     ring = jnp.concatenate([ring[:, K:], cand], axis=1) if K < RING else cand[:, -RING:]
@@ -128,9 +136,10 @@ def body_ring(i, carry):
     return pool_d, pool_i, pool_c, ring
 
 
-def body_merge(i, carry):
+def body_merge(i, carry, env):
+    codes, nids, xsq, qs, qconst = env
     pool_d, pool_i, pool_c, ring = carry
-    u, sel, act = pops(i, pool_d, pool_c)
+    u, sel, act = pops(i, pool_d, pool_i, pool_c)
     est = qconst[:, None] * jnp.ones((B, K)) + i
     cand = nids[u].reshape(B, K)
     pool_d, pool_i, pool_c = merge_topk_with_flags(
@@ -138,10 +147,11 @@ def body_merge(i, carry):
     return pool_d, pool_i, pool_c, ring
 
 
-def body_full(i, carry):
+def body_full(i, carry, env):
+    codes, nids, xsq, qs, qconst = env
     pool_d, pool_i, pool_c, ring = carry
     slot_iota = jnp.arange(L, dtype=jnp.int32)[None, :]
-    u, sel, act = pops(i, pool_d, pool_c)
+    u, sel, act = pops(i, pool_d, pool_i, pool_c)
     pool_c = pool_c | jnp.any(
         (slot_iota[:, None, :] == sel[:, :, None]) & act[:, :, None], axis=1)
     c = codes[u].reshape(B, K, D)
@@ -161,4 +171,5 @@ def body_full(i, carry):
 for name, body in [("pop", body_pop), ("gather", body_gather),
                    ("estimate", body_estimate), ("ring", body_ring),
                    ("merge", body_merge), ("full", body_full)]:
-    timeit(name, loop(body), pool_d0, pool_i0, pool_c0, ring0)
+    timeit(name, loop(body), codes, nids, xsq, qs, qconst,
+           pool_d0, pool_i0, pool_c0, ring0)

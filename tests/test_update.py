@@ -77,3 +77,40 @@ def test_bulk_insert_is_vectorized():
     ids = idx.batch_search(ds.data[N - 128:][:16], 5, ef_search=64)
     hit = np.mean([new_ids[i] in ids[i] for i in range(16)])
     assert hit >= 0.9, f"hit {hit}"
+
+
+@pytest.mark.parametrize("quant", ["bsq8", "rabitq"])
+def test_block_quantized_insert(quant):
+    """Online insert into block-quantized (QG) indices: new vectors become
+    searchable, touched nodes' packed blocks requantize (reference:
+    graph_update_job.hpp:66-137 + rabitq_space.hpp:138-161)."""
+    ds = random_dataset(n=600, dim=DIM, n_queries=4, seed=17)
+    idx = Index("q", IndexParams(index_type="hnsw", capacity=700,
+                                 max_nbrs=16 if quant == "bsq8" else 32,
+                                 ef_construction=64, quantization_type=quant))
+    idx.fit(ds.data)
+    rng = np.random.default_rng(2)
+    new = ds.data[:24] + 0.01 * rng.normal(size=(24, DIM)).astype(np.float32)
+    new_ids = idx.insert(new)
+    assert (new_ids >= 600).all()
+    ids = idx.batch_search(new, 5, ef_search=64)
+    hit = np.mean([new_ids[i] in ids[i] for i in range(len(new_ids))])
+    assert hit >= 0.9, f"hit {hit}"
+    # old vectors still found after the touched-block requantization
+    ids_old = idx.batch_search(ds.queries, 10, ef_search=64)
+    from alayalite_tpu.utils.evaluate import calc_gt as _gt, calc_recall as _rc
+    gt = _gt(np.concatenate([ds.data, new]), ds.queries, 10)
+    assert _rc(np.asarray(ids_old), gt) >= 0.8
+
+
+def test_block_insert_then_remove():
+    """Insert + tombstone remove on a bsq8 index keeps results clean."""
+    ds = random_dataset(n=400, dim=DIM, n_queries=8, seed=19)
+    idx = Index("qr", IndexParams(index_type="hnsw", capacity=500,
+                                  max_nbrs=16, ef_construction=64,
+                                  quantization_type="bsq8"))
+    idx.fit(ds.data)
+    new_ids = idx.insert(ds.data[:8] + 0.005)
+    idx.remove(new_ids[:4])
+    ids = idx.batch_search(ds.queries, 10, ef_search=64)
+    assert not np.isin(ids[ids >= 0], new_ids[:4]).any()

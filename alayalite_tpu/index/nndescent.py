@@ -148,6 +148,42 @@ def _nnd_round_chunk(
     return knn_d, knn_i, changed
 
 
+@functools.partial(jax.jit, donate_argnums=(1, 2),
+                   static_argnames=("s1", "s2", "s_rev", "n_rand", "chunk",
+                                    "rounds", "n_chunks"))
+def _nnd_rounds_dev(space, knn_d, knn_i, key, s1: int, s2: int, s_rev: int,
+                    n_rand: int, chunk: int, rounds: int, n_chunks: int):
+    """``rounds`` full NN-Descent rounds in ONE dispatch (lax.scan over
+    rounds, fori_loop over node chunks). Host-side round loops paid one
+    dispatch per chunk (~35 ms fixed each through a TPU tunnel — 372
+    dispatches at 1M, VERDICT r1 #4); this pays one per ``rounds``.
+    knn buffers are donated: state updates in place. Returns
+    (knn_d, knn_i, changed [rounds])."""
+    N = knn_i.shape[0]
+
+    def one_round(carry, key_r):
+        kd, ki = carry
+        k_sample, k_round = jax.random.split(key_r)
+        mid, rev = _nnd_reverse_sample(ki, k_sample, s1=s1, s_rev=s_rev)
+
+        def chunk_body(ci, st):
+            kd, ki, changed = st
+            lo = jnp.minimum(ci * chunk, N - chunk)
+            sub = jax.random.fold_in(k_round, ci)
+            kd, ki, c = _nnd_round_chunk(
+                space, kd, ki, mid, rev, sub, lo, s2=s2, n_rand=n_rand,
+                chunk=chunk)
+            return kd, ki, changed + c.astype(jnp.int32)
+
+        kd, ki, changed = jax.lax.fori_loop(
+            0, n_chunks, chunk_body, (kd, ki, jnp.zeros((), jnp.int32)))
+        return (kd, ki), changed
+
+    (knn_d, knn_i), changes = jax.lax.scan(
+        one_round, (knn_d, knn_i), jax.random.split(key, rounds))
+    return knn_d, knn_i, changes
+
+
 def _nnd_round(space, knn_d, knn_i, key, s1: int, s2: int, s_rev: int,
                n_rand: int, chunk: int = 0):
     """One full NN-Descent round, chunked over node ranges so the gather
@@ -252,14 +288,20 @@ def build_knn_graph(
     else:
         knn_d, knn_i = _init_random_knn(space, n, k, seed, chunk=chunk)
     key = jax.random.PRNGKey(seed + 1)
-    for it in range(max_iters):
+    n_chunks = -(-n // min(chunk, n))
+    block = 4  # rounds per dispatch: convergence checked between blocks
+    it = 0
+    while it < max_iters:
+        r = min(block, max_iters - it)
         key, sub = jax.random.split(key)
-        knn_d, knn_i, changed = _nnd_round(
+        knn_d, knn_i, changes = _nnd_rounds_dev(
             space, knn_d, knn_i, sub, s1=s1, s2=s2, s_rev=s_rev,
-            n_rand=n_rand, chunk=chunk)
-        log.info("nndescent round %d: changed=%d (%.1fs)", it, changed,
-                 time.time() - t0)
-        if changed <= min_update_frac * n * k:
+            n_rand=n_rand, chunk=min(chunk, n), rounds=r, n_chunks=n_chunks)
+        changes = np.asarray(changes)
+        it += r
+        log.info("nndescent rounds %d-%d: changed=%s (%.1fs)", it - r, it - 1,
+                 changes.tolist(), time.time() - t0)
+        if changes[-1] <= min_update_frac * n * k:
             break
     if as_numpy:
         return np.asarray(knn_d), np.asarray(knn_i)

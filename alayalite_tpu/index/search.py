@@ -33,6 +33,27 @@ from ..ops.topk import merge_topk_with_flags
 FINF = float("inf")  # plain python: jnp constants at module level would init the backend at import
 
 
+def _pop_best_m(pool_d, pool_i, pool_c, m: int):
+    """Select the M best unchecked pool entries WITHOUT a sort.
+
+    The pool is kept sorted ascending by distance (merge_topk_with_flags
+    returns top_k output, which is sorted), so the M best unchecked entries
+    are the first M slots where ~checked — a cumsum rank-select. XLA lowers
+    the previous tiny-row ``top_k`` to a full sort (~2.1 ms/hop at B=4096 on
+    v5e vs 0.46 ms for this — measured, scripts/opt_hop.py).
+
+    Returns (u [B, M] popped ids, active [B, M], pool_c with picks marked).
+    """
+    unchecked = (~pool_c) & (pool_i >= 0) & jnp.isfinite(pool_d)
+    rank = jnp.cumsum(unchecked.astype(jnp.int32), axis=1) - 1      # [B, L]
+    pick = unchecked & (rank < m)
+    onehot = pick[:, None, :] & (
+        rank[:, None, :] == jnp.arange(m, dtype=jnp.int32)[None, :, None])
+    u = jnp.sum(jnp.where(onehot, pool_i[:, None, :], 0), axis=2)   # [B, M]
+    active = jnp.any(onehot, axis=2)
+    return u, active, pool_c | pick
+
+
 def _visited_probe_and_set(visited: jax.Array, ids: jax.Array):
     """Test-and-set ids in per-query bitmasks.
 
@@ -181,7 +202,6 @@ def beam_search(
         visited, pool_d, pool_i, pool_c = _expand(
             space, queries, visited, pool_d, pool_i, pool_c, seeds, L)
 
-    slot_iota = jnp.arange(L, dtype=jnp.int32)[None, :]
 
     def has_next(pool_d, pool_i, pool_c):
         return (~pool_c) & (pool_i >= 0) & jnp.isfinite(pool_d)
@@ -192,13 +212,7 @@ def beam_search(
 
     def body(state):
         it, visited, pop_ring, pool_d, pool_i, pool_c = state
-        cand = jnp.where(has_next(pool_d, pool_i, pool_c), pool_d, FINF)
-        negd, sel = jax.lax.top_k(-cand, M)                         # [B, M]
-        active = jnp.isfinite(-negd)                                # [B, M]
-        u = jnp.take_along_axis(pool_i, sel, axis=1)                # [B, M]
-        pool_c = pool_c | jnp.any(
-            (slot_iota[:, None, :] == sel[:, :, None]) & active[:, :, None],
-            axis=1)
+        u, active, pool_c = _pop_best_m(pool_d, pool_i, pool_c, M)  # [B, M]
         nb = nbrs[jnp.where(active, u, 0)]                          # [B, M, R]
         nb = jnp.where(active[:, :, None], nb, -1).reshape(B, -1)
         if use_ring:
@@ -318,7 +332,6 @@ def block_beam_search(
     ring, pool_d, pool_i, pool_c = _expand_ring(
         space, queries, ring, pool_d, pool_i, pool_c, seeds, L)
 
-    slot_iota = jnp.arange(L, dtype=jnp.int32)[None, :]
 
     def has_next(pool_d, pool_i, pool_c):
         return (~pool_c) & (pool_i >= 0) & jnp.isfinite(pool_d)
@@ -329,13 +342,7 @@ def block_beam_search(
 
     def body(state):
         it, ring, pool_d, pool_i, pool_c = state
-        cand = jnp.where(has_next(pool_d, pool_i, pool_c), pool_d, FINF)
-        negd, sel = jax.lax.top_k(-cand, M)                         # [B, M]
-        active = jnp.isfinite(-negd)
-        u = jnp.take_along_axis(pool_i, sel, axis=1)                # [B, M]
-        pool_c = pool_c | jnp.any(
-            (slot_iota[:, None, :] == sel[:, :, None]) & active[:, :, None],
-            axis=1)
+        u, active, pool_c = _pop_best_m(pool_d, pool_i, pool_c, M)  # [B, M]
         u_safe = jnp.where(active, u, 0)
         # estimate all M popped nodes' neighbor blocks in one batch
         est, nids = jax.vmap(space.estimate_for, in_axes=(None, 1),

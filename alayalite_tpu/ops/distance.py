@@ -210,14 +210,17 @@ def exact_topk(
         x = jnp.pad(x, ((0, npad - n), (0, 0)))
     x_sq = sqnorms(x)
     coarse_k = int(max(k, rerank)) if rerank else int(k)
+    # approx_max_k requires k < row width; tiny datasets clamp tile_n to 128
+    coarse_k = min(coarse_k, tile_n)
     fast = bool(rerank and coarse_k > k)
+    approx_sel = fast and coarse_k < tile_n
     # group-min pre-reduction measured slower than direct approx selection
     # on v5e (selection is not the dominant cost); kept available via env
     G = int(os.environ.get("ALAYA_TOPK_GROUP", "1")) if fast else 1
     d, i = _exact_topk_device(
         q, x, x_sq, jnp.asarray(vfull), k=coarse_k, metric=metric,
         tile_n=tile_n, bf16=(compute_dtype == "bfloat16"),
-        approx=fast, group=G,
+        approx=approx_sel, group=G,
     )
     if fast:
         if G > 1:

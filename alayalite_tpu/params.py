@@ -100,8 +100,20 @@ class IndexParams:
             raise ValueError(f"invalid data_type {self.data_type!r}; one of {_VALID_DTYPES}")
         if self.id_type not in _VALID_ID_TYPES:
             raise ValueError(f"invalid id_type {self.id_type!r}; one of {_VALID_ID_TYPES}")
-        if self.storage_dtype not in ("float32", "bfloat16", "float16"):
+        if self.storage_dtype not in ("float32", "bfloat16", "float16",
+                                      "uint8", "int8"):
             raise ValueError(f"invalid storage_dtype {self.storage_dtype!r}")
+        # integer data vectors (SIFT is u8) are stored in their native dtype
+        # — the reference instantiates u8/i8 spaces end-to-end
+        # (python/include/dispatch.hpp:25-175); here dtype is data, and the
+        # MXU contraction upcasts losslessly. COS would need normalized
+        # (fractional) storage, so it is rejected like any invalid combo.
+        if self.data_type in ("uint8", "int8"):
+            if self.metric is MetricType.COS:
+                raise ValueError("cos metric requires float data_type "
+                                 "(normalization is fractional)")
+            if self.storage_dtype == "float32":
+                self.storage_dtype = self.data_type
         if int(self.capacity) <= 0:
             raise ValueError("capacity must be positive")
         if int(self.max_nbrs) <= 0:

@@ -67,10 +67,38 @@ def main() -> None:
     log(f"devices: {jax.devices()}")
     log(f"workload: n={n} dim={dim} nq={nq}")
 
-    ds = random_dataset(n=n, dim=dim, n_queries=nq, seed=42,
-                        clusters=max(32, n // 2000))
+    # Real data when mounted (VERDICT r1 #3): ALAYA_DATA_DIR + optional
+    # ALAYA_BENCH_DATASET (default: first available of sift/fashion-mnist).
+    dataset_name = "synthetic_sift100k"
+    ds = None
+    if not small:
+        from alayalite_tpu.utils.datasets import (available_real_datasets,
+                                                  load_real_dataset)
+
+        want = os.environ.get("ALAYA_BENCH_DATASET")
+        cands = [want] if want else ["sift", "fashion-mnist-784-euclidean",
+                                     "gist", "siftsmall"]
+        avail = set(available_real_datasets())
+        for name in cands:
+            if name in avail:
+                ds = load_real_dataset(name, topk=topk)
+                if ds is not None:
+                    dataset_name = name
+                    n, dim = ds.data.shape
+                    nq = min(nq, ds.queries.shape[0])
+                    ds.queries = ds.queries[:nq]
+                    if ds.gt is not None:
+                        ds.gt = ds.gt[:nq]
+                    log(f"real dataset: {name} n={n} dim={dim} nq={nq}")
+                    break
+    if ds is None:
+        ds = random_dataset(n=n, dim=dim, n_queries=nq, seed=42,
+                            clusters=max(32, n // 2000))
     t0 = time.time()
-    gt = calc_gt(ds.data, ds.queries, topk, fast=True)
+    if ds.gt is not None:
+        gt = ds.gt[:, :topk]
+    else:
+        gt = calc_gt(ds.data, ds.queries, topk, fast=True)
     log(f"gt: {time.time() - t0:.1f}s")
 
     _last_idx = [None]
@@ -170,7 +198,7 @@ def main() -> None:
         max(rows, key=lambda r: r["recall"])
     value = best["qps_dev"] if best["recall"] >= 0.95 else 0.0
     out = {
-        "metric": "device_qps@recall10>=0.95_synthetic_sift100k",
+        "metric": f"device_qps@recall10>=0.95_{dataset_name}",
         "value": round(value, 1),
         "unit": "qps",
         "vs_baseline": round(value / BASELINE_QPS, 4),

@@ -78,3 +78,34 @@ def test_device_resident_queries(ds):
     a = fl.batch_search(ds.queries, K, ef_search=K)
     b = fl.batch_search(jnp.asarray(ds.queries), K, ef_search=K)
     np.testing.assert_array_equal(a, b)
+
+
+def test_uint8_data_type_native_storage():
+    """u8 vector data (SIFT's native dtype) is stored as u8 and searched
+    losslessly — genuine support for the reference's u8 dispatch
+    (python/include/dispatch.hpp:25-175), not a silent f32 coercion."""
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 256, size=(400, 24)).astype(np.uint8)
+    queries = data[:16].astype(np.float32)
+
+    p = IndexParams(index_type="flat", capacity=500, data_type="uint8")
+    assert p.storage_dtype == "uint8"
+    idx = Index("u8", p)
+    idx.fit(data.astype(np.float32))
+    assert str(idx._engine.space.data.dtype) == "uint8"
+    ids = idx.batch_search(queries, 1, ef_search=1)
+    np.testing.assert_array_equal(ids[:, 0], np.arange(16))
+
+    # u8 values are exactly representable: matches the f32 index
+    f = Index("f32", IndexParams(index_type="flat", capacity=500))
+    f.fit(data.astype(np.float32))
+    np.testing.assert_array_equal(
+        idx.batch_search(queries, 5, ef_search=5),
+        f.batch_search(queries, 5, ef_search=5))
+
+    # insert keeps native dtype; cos+integer is rejected loudly
+    new_id = int(np.atleast_1d(idx.insert(np.full(24, 7, np.float32)))[0])
+    assert new_id == 400
+    assert str(idx._engine.space.data.dtype) == "uint8"
+    with pytest.raises(ValueError, match="cos"):
+        IndexParams(data_type="int8", metric="cos")

@@ -67,12 +67,15 @@ def test_rabitq_index_recall():
     assert rec >= 0.95, f"rabitq recall {rec}"
 
 
-def test_rabitq_insert_unsupported():
+def test_rabitq_insert_finds_new_vector():
     ds = random_dataset(n=256, dim=16, n_queries=1, seed=1)
     idx = Index("r", IndexParams(capacity=300, quantization_type="rabitq"))
     idx.fit(ds.data)
-    with pytest.raises(RuntimeError, match="block-quantized"):
-        idx.insert(np.ones(16, dtype=np.float32))
+    v = np.ones(16, dtype=np.float32)
+    new_id = int(np.atleast_1d(idx.insert(v))[0])
+    assert new_id == 256
+    got = idx.batch_search(v[None, :], 1, ef_search=64)
+    assert int(got[0, 0]) == new_id
 
 
 def test_rabitq_save_load_roundtrip(tmp_path, rng):

@@ -345,10 +345,15 @@ def block_beam_search(
         u, active, pool_c = _pop_best_m(pool_d, pool_i, pool_c, M)  # [B, M]
         u_safe = jnp.where(active, u, 0)
         # estimate all M popped nodes' neighbor blocks in one batch
-        est, nids = jax.vmap(space.estimate_for, in_axes=(None, 1),
-                             out_axes=1)(ctx, u_safe)
-        est = est.reshape(B, -1)                                    # [B, M*R]
-        nids = jnp.where(active[:, :, None], nids, -1).reshape(B, -1)
+        if hasattr(space, "estimate_many"):
+            est, nids = space.estimate_many(ctx, u_safe)            # [B, M*R]
+            R = nids.shape[1] // M
+            nids = jnp.where(jnp.repeat(active, R, axis=1), nids, -1)
+        else:
+            est, nids = jax.vmap(space.estimate_for, in_axes=(None, 1),
+                                 out_axes=1)(ctx, u_safe)
+            est = est.reshape(B, -1)                                # [B, M*R]
+            nids = jnp.where(active[:, :, None], nids, -1).reshape(B, -1)
         # ring probe keeps candidate order, so est stays aligned with nids
         fresh = _ring_fresh(ring, pool_i, nids)
         est = jnp.where(fresh, est, FINF)

@@ -85,9 +85,20 @@ class Index:
         _assert(ef_search >= topk, "ef_search must be >= topk")
         return self._engine.search(q, topk, ef=ef_search)
 
+    @staticmethod
+    def _as_query_batch(queries):
+        """2-D float32 query batch. Device (jax) arrays pass through without
+        a host round-trip — np.asarray on one costs a full D2H + re-upload
+        (8 MB of queries ≈ 0.5 s through a TPU tunnel, measured r2)."""
+        import jax
+
+        if isinstance(queries, jax.Array):
+            return queries if queries.ndim == 2 else queries[None]
+        return np.atleast_2d(np.asarray(queries, dtype=np.float32))
+
     def batch_search(self, queries, topk: int, ef_search: int = 100,
                      num_threads: int = 1) -> np.ndarray:
-        q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        q = self._as_query_batch(queries)
         _assert(self._dim is None or q.shape[1] == self._dim,
                 "Vector dimension must match the index dimension.")
         _assert(ef_search >= topk, "ef_search must be >= topk")
@@ -97,7 +108,9 @@ class Index:
     def batch_search_with_distance(
         self, queries, topk: int, ef_search: int = 100, num_threads: int = 1,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        q = self._as_query_batch(queries)
+        _assert(self._dim is None or q.shape[1] == self._dim,
+                "Vector dimension must match the index dimension.")
         _assert(ef_search >= topk, "ef_search must be >= topk")
         return self._engine.batch_search_with_distance(
             q, topk, ef=ef_search, num_threads=num_threads)

@@ -24,9 +24,8 @@ def merge_topk(
     """
     cat_d = jnp.concatenate([d1, d2], axis=-1)
     cat_i = jnp.concatenate([i1, i2], axis=-1)
-    nd, sel = jax.lax.top_k(-cat_d, k)
-    ni = jnp.take_along_axis(cat_i, sel, axis=-1)
-    return -nd, ni
+    sd, si = jax.lax.sort_key_val(cat_d, cat_i, dimension=-1)
+    return sd[..., :k], si[..., :k]
 
 
 def merge_topk_with_flags(
@@ -34,11 +33,18 @@ def merge_topk_with_flags(
     d2: jax.Array, i2: jax.Array, f2: jax.Array,
     k: int,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """merge_topk carrying a per-entry bool flag (e.g. 'checked')."""
+    """merge_topk carrying a per-entry bool flag (e.g. 'checked').
+
+    Implemented as ONE ``lax.sort_key_val`` with (id, flag) packed into a
+    single i32 payload: XLA lowers the three-array ``top_k`` variant to a
+    variadic sort whose 3-way comparator costs 4.5x more on v5e (measured
+    3.62 ms vs 0.81 ms at [4096, 288], scripts/opt_hop2.py). Stable sort,
+    first-operand entries win ties — identical semantics to the top_k form.
+    Packing is exact for any id ≥ -1 (arithmetic shift restores the sign).
+    """
     cat_d = jnp.concatenate([d1, d2], axis=-1)
-    cat_i = jnp.concatenate([i1, i2], axis=-1)
-    cat_f = jnp.concatenate([f1, f2], axis=-1)
-    nd, sel = jax.lax.top_k(-cat_d, k)
-    ni = jnp.take_along_axis(cat_i, sel, axis=-1)
-    nf = jnp.take_along_axis(cat_f, sel, axis=-1)
-    return -nd, ni, nf
+    pay = jnp.concatenate([i1 * 2 + f1.astype(jnp.int32),
+                           i2 * 2 + f2.astype(jnp.int32)], axis=-1)
+    sd, sp = jax.lax.sort_key_val(cat_d, pay, dimension=-1)
+    sd, sp = sd[..., :k], sp[..., :k]
+    return sd, sp >> 1, (sp & 1) == 1

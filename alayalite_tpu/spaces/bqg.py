@@ -187,6 +187,24 @@ class BQGSpace:
         est = qconst[:, None] - 2.0 * dot + self.nbr_xsq[safe]
         return jnp.maximum(est, 0.0), self.nbr_ids[safe]
 
+    def estimate_many(self, ctx, u: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Estimated d² to the neighbors of ALL popped nodes u [B, M] in one
+        shot: [B, M*R] (est, ids). One fat gather + one fused decode+dot
+        kernel (ops/pallas_block.py) instead of M vmapped einsums — the
+        XLA path materializes a [B, M*R, D] bf16 decode (1.8 ms/hop at
+        B=4096 on v5e); the kernel decodes in VMEM (0.21 ms)."""
+        from ..ops.pallas_block import block_diagdot
+
+        q, qs, qconst = ctx
+        B, M = u.shape
+        safe = jnp.clip(u, 0, self.capacity - 1)
+        codes = self.nbr_codes[safe].reshape(B, M * self.degree, self.dim)
+        dot = block_diagdot(codes, qs)
+        est = (qconst[:, None] - 2.0 * dot
+               + self.nbr_xsq[safe].reshape(B, M * self.degree))
+        return (jnp.maximum(est, 0.0),
+                self.nbr_ids[safe].reshape(B, M * self.degree))
+
     def gather_dists(self, q: jax.Array, ids: jax.Array) -> jax.Array:
         """Exact raw-vector distances (seed scoring + final rerank)."""
         safe = jnp.clip(ids, 0, self.capacity - 1)

@@ -109,6 +109,8 @@ class IndexEngine:
         self.search_space = None   # quantized space or == space
         self.graph: Optional[Graph] = None
         self._fitted = False
+        self._rng = np.random.default_rng(0xA1A7A)  # overlay level draws
+        self._removed: list = []   # tombstones since the last compaction
 
     # ------------------------------------------------------------------ fit
     def fit(self, vectors: np.ndarray, ef_construction: Optional[int] = None,
@@ -303,6 +305,12 @@ class IndexEngine:
             nbrs[touched] = pruned
         self.graph = Graph(nbrs=jnp.asarray(nbrs), eps=self.graph.eps,
                            overlay=self.graph.overlay)
+        # 4. draw levels and link into the overlay hierarchy (hnswlib.hpp
+        #    add_point layers>0; P(level>=l)=R^-l)
+        from .overlay_update import extend_overlay
+
+        self.graph = extend_overlay(self.graph, self.space, new_ids_np,
+                                    self._rng, r)
         return new_ids_np
 
     def _insert_block(self, vectors, ef: int = 100) -> np.ndarray:
@@ -348,13 +356,93 @@ class IndexEngine:
         return new_ids_np
 
     def remove(self, ids) -> None:
-        """Tombstone removal (graph_update_job.hpp:91-103)."""
+        """Tombstone removal (graph_update_job.hpp:91-103). When tombstones
+        exceed ``params.compaction_threshold`` of the stored vectors, a
+        batched compaction rewires every affected node through the removed
+        nodes' 2-hop neighborhoods (the reference's lazy update() pass)."""
         self._require_fitted()
         self._mutations = getattr(self, "_mutations", 0) + 1
         arr = jnp.atleast_1d(jnp.asarray(ids, dtype=jnp.int32))
         self.space = self.space.remove(arr)
         if self.search_space is not self.space:
             self.search_space = self.search_space.remove(arr)
+        if self.graph is None:
+            return
+        self._removed.extend(int(x) for x in np.atleast_1d(np.asarray(ids)))
+        thr = float(getattr(self.params, "compaction_threshold", 0.2))
+        if thr <= 0 or not self._removed:
+            return
+        live = int(np.asarray(self.space.valid[: int(self.space.num)]).sum())
+        if len(self._removed) > thr * max(live, 1):
+            self.compact()
+
+    def compact(self) -> None:
+        """Rewire edges around accumulated tombstones and drop them from the
+        overlay. Ids are stable; removed slots stay tombstoned (the bump
+        allocator never reuses them — same as the reference's remove)."""
+        self._require_fitted()
+        if self.graph is None or not self._removed:
+            self._removed = []
+            return
+        removed = np.unique(np.asarray(self._removed, dtype=np.int32))
+        from .overlay_update import affected_by_removal, strip_overlay
+
+        nbrs = np.asarray(self.graph.nbrs)
+        affected = affected_by_removal(nbrs, removed)
+        t0 = time.time()
+        if affected.size:
+            self.update_nodes(affected, _removed=removed)
+        self.graph = strip_overlay(self.graph, removed)
+        eps = np.asarray(self.graph.eps)
+        if np.isin(eps, removed).any():
+            # replace dead entry points with live ones
+            valid = np.asarray(self.space.valid)
+            pool = np.flatnonzero(valid)
+            if pool.size:
+                fresh = self._rng.choice(pool, size=eps.shape[0])
+                eps = np.where(np.isin(eps, removed), fresh, eps).astype(
+                    np.int32)
+                self.graph = Graph(nbrs=self.graph.nbrs,
+                                   eps=jnp.asarray(eps),
+                                   overlay=self.graph.overlay)
+        log.info("compact: %d tombstones, %d nodes rewired in %.2fs",
+                 removed.size, affected.size, time.time() - t0)
+        self._removed = []
+
+    def update_nodes(self, ids, _removed=None) -> None:
+        """Per-node edge rebuild (GraphUpdateJob::update,
+        graph_update_job.hpp:105-137): candidates = current edges ∪ removed
+        neighbors' edges (2-hop detour), top-R by exact distance. For block
+        indices the rebuilt rows are requantized in the same pass."""
+        self._require_fitted()
+        if self.graph is None:
+            raise RuntimeError("flat index has no graph to update")
+        ids = np.atleast_1d(np.asarray(ids, dtype=np.int32))
+        if ids.size == 0:
+            return
+        removed = (np.empty(0, np.int32) if _removed is None
+                   else np.asarray(_removed, dtype=np.int32))
+        from .nsg import _gather_dists_chunked
+        from .overlay_update import rewire_candidates
+
+        nbrs = np.asarray(self.graph.nbrs)
+        cand = rewire_candidates(nbrs, ids, removed)
+        cd = _gather_dists_chunked(self.space, ids, cand, 2048)
+        block = self.params.quantization_type in (QuantizationType.RABITQ,
+                                                  QuantizationType.BSQ8)
+        r = self.search_space.degree if block else nbrs.shape[1]
+        rows = np.asarray(_topr_dedup(jnp.asarray(cd), jnp.asarray(cand), r))
+        if block:
+            self.search_space = self.search_space.set_neighbor_rows(ids, rows)
+            rows = np.asarray(self.search_space.nbr_ids[jnp.asarray(ids)])
+        new_nbrs = nbrs.copy()
+        if rows.shape[1] < new_nbrs.shape[1]:
+            pad = np.full((rows.shape[0], new_nbrs.shape[1] - rows.shape[1]),
+                          -1, np.int32)
+            rows = np.concatenate([rows, pad], axis=1)
+        new_nbrs[ids] = rows[:, : new_nbrs.shape[1]]
+        self.graph = Graph(nbrs=jnp.asarray(new_nbrs), eps=self.graph.eps,
+                           overlay=self.graph.overlay)
 
     def get_data_by_id(self, id_: int) -> np.ndarray:
         self._require_fitted()

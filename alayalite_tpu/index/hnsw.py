@@ -40,7 +40,15 @@ log = logging.getLogger("alayalite_tpu")
 
 
 def _build_overlay(space, n: int, r: int, rng: np.random.Generator):
-    """Sample the layer hierarchy and build per-level exact kNN subgraphs."""
+    """Sample the layer hierarchy and build per-level exact kNN subgraphs.
+
+    Each level is padded to a capacity-scaled slot count (ids/down = -1) so
+    online inserts can link new nodes into the hierarchy *in place*
+    (overlay_update.py) — growing a level's arrays would change jitted
+    search-program shapes, and a recompile costs ~30s through a TPU tunnel.
+    overlay_descend never reads a padded slot: padded ids are unreachable
+    because no occupied row points at them.
+    """
     r2 = max(2, r // 2)
     members: List[np.ndarray] = []
     cur = np.arange(n, dtype=np.int32)
@@ -52,6 +60,8 @@ def _build_overlay(space, n: int, r: int, rng: np.random.Generator):
         return (), None
     # top level first
     members = members[::-1]
+    # headroom for online inserts, proportional to unused capacity
+    grow = max(1.0, space.capacity / max(n, 1))
     levels = []
     for li, ids in enumerate(members):
         vecs = np.asarray(space.data[jnp.asarray(ids)].astype(jnp.float32))
@@ -69,6 +79,13 @@ def _build_overlay(space, n: int, r: int, rng: np.random.Generator):
             down = np.searchsorted(below, ids).astype(np.int32)
         else:
             down = ids.astype(np.int32)  # bottom overlay points at global ids
+        cap_l = -(-int(np.ceil(ids.size * grow)) // 8) * 8
+        pad = cap_l - ids.size
+        if pad > 0:
+            ids = np.concatenate([ids, np.full(pad, -1, np.int32)])
+            nbrs_local = np.concatenate(
+                [nbrs_local, np.full((pad, r2), -1, np.int32)], axis=0)
+            down = np.concatenate([down, np.full(pad, -1, np.int32)])
         levels.append(OverlayLevel(
             ids=jnp.asarray(ids), nbrs=jnp.asarray(nbrs_local),
             down=jnp.asarray(down)))

@@ -1,0 +1,205 @@
+"""Online maintenance of the overlay hierarchy and tombstone compaction.
+
+TPU-native analog of the reference's incremental HNSW maintenance:
+
+  - ``extend_overlay`` — each inserted point draws a level with
+    P(level >= l) = R^-l (hnswlib.hpp get_random_level, mult_ = 1/ln(R))
+    and is linked into every overlay level up to it, exactly as
+    ``add_point`` links layers > 0 (hnswlib.hpp:652-750). Levels are
+    pre-padded at build time (hnsw.py::_build_overlay), so linking is pure
+    in-place slot assignment — no array growth, no search recompile.
+  - ``rewire_removed`` — the reference routes searches *through* removed
+    nodes via their 2-hop neighborhoods (graph_search_job.hpp:373-417) and
+    rebuilds affected nodes' edges with GraphUpdateJob::update
+    (graph_update_job.hpp:105-137). Here the same candidate rule — current
+    edges ∪ removed neighbors' edges, minus removed, top-R by exact
+    distance — is applied to every affected node in one batch when the
+    tombstone fraction crosses ``IndexParams.compaction_threshold``.
+
+Host-orchestrated by design: overlay levels hold ~n/R nodes and compaction
+is rare; the distance evaluations run on device in one gather per batch.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .graph import Graph, OverlayLevel
+
+log = logging.getLogger("alayalite_tpu")
+
+
+def _batch_dists(space, q_vecs: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Exact d(q_vecs[i], ids[i, :]) with -1-safe gathers, [B, K] f32."""
+    idj = jnp.asarray(np.where(ids >= 0, ids, 0))
+    q = space.prep_query(jnp.asarray(q_vecs, dtype=jnp.float32))
+    d = np.asarray(space.gather_dists(q, idj))
+    return np.where(ids >= 0, d, np.inf)
+
+
+def draw_levels(rng: np.random.Generator, count: int, r: int,
+                max_level: int) -> np.ndarray:
+    """Reference level law: floor(-ln(U) / ln(R)), capped at the built
+    hierarchy's depth (hnswlib.hpp get_random_level)."""
+    ratio = max(2, int(r))
+    u = rng.uniform(low=np.finfo(np.float64).tiny, size=count)
+    lv = np.floor(-np.log(u) / np.log(ratio)).astype(np.int64)
+    return np.minimum(lv, max_level).astype(np.int32)
+
+
+def extend_overlay(graph: Graph, space, new_ids: np.ndarray,
+                   rng: np.random.Generator, r: int) -> Graph:
+    """Link inserted nodes into the overlay hierarchy in place.
+
+    For each node with drawn level l >= 1: occupy a free slot in overlay
+    levels depth-1 .. depth-l (bottom-up), connect to its r2 nearest
+    occupied members, and patch those members' reverse rows (append into a
+    free slot, else replace their farthest edge if the new node is closer —
+    hnswlib's shrink-on-overflow rule). ``down`` chains through the slots
+    assigned one level below. A full level just stops accepting (logged);
+    searches remain correct, only seed quality for the very newest nodes
+    degrades to the base entry points.
+    """
+    depth = len(graph.overlay)
+    new_ids = np.asarray(new_ids, dtype=np.int32)
+    new_ids = new_ids[new_ids >= 0]
+    if depth == 0 or new_ids.size == 0:
+        return graph
+    lv = draw_levels(rng, new_ids.size, r, depth)
+    if not (lv >= 1).any():
+        return graph
+
+    levels = [{
+        "ids": np.array(l.ids), "nbrs": np.array(l.nbrs),
+        "down": np.array(l.down),
+    } for l in graph.overlay]
+    up = new_ids[lv >= 1]
+    up_vecs = np.asarray(space.data[jnp.asarray(up)].astype(jnp.float32))
+    vec_of = {int(g): up_vecs[i] for i, g in enumerate(up)}
+    below_slot = {}  # global id -> slot assigned in the level just below
+    changed = False
+    for li in range(depth - 1, -1, -1):
+        need = depth - li  # nodes with lv >= need belong in list index li
+        members = new_ids[lv >= need]
+        if members.size == 0:
+            break
+        L = levels[li]
+        ids, nbrs, down = L["ids"], L["nbrs"], L["down"]
+        free = np.flatnonzero(ids < 0)
+        if free.size < members.size:
+            log.warning("overlay level %d full (%d slots, %d inserts); "
+                        "extra inserts stay base-layer only",
+                        li, ids.size, members.size)
+            members = members[: free.size]
+            if members.size == 0:
+                continue
+        occ = np.flatnonzero(ids >= 0)
+        slots = free[: members.size]
+        qv = np.stack([vec_of[int(g)] for g in members])
+        # distances to every occupied member (levels hold ~n/R nodes)
+        d = _batch_dists(space, qv, np.broadcast_to(ids[occ],
+                                                    (members.size, occ.size)))
+        r2 = nbrs.shape[1]
+        k = min(r2, occ.size)
+        sel = np.argsort(d, axis=1)[:, :k]  # local positions into occ
+        ids[slots] = members
+        down[slots] = (members if li == depth - 1 else
+                       np.array([below_slot[int(g)] for g in members],
+                                dtype=np.int32))
+        for m in range(members.size):
+            chosen = occ[sel[m]]
+            row = np.full(r2, -1, np.int32)
+            row[:k] = chosen
+            nbrs[slots[m]] = row
+            # reverse edges: free slot, else replace the farthest if closer
+            for j, c in enumerate(chosen):
+                crow = nbrs[c]
+                hole = np.flatnonzero(crow < 0)
+                if hole.size:
+                    crow[hole[0]] = slots[m]
+                    continue
+                cd = _batch_dists(
+                    space, np.asarray(space.data[int(ids[c])].astype(
+                        jnp.float32))[None],
+                    ids[crow][None])[0]
+                worst = int(np.argmax(cd))
+                if d[m, sel[m, j]] < cd[worst]:
+                    crow[worst] = slots[m]
+            below_slot[int(members[m])] = int(slots[m])
+        changed = True
+
+    if not changed:
+        return graph
+    overlay = tuple(
+        OverlayLevel(ids=jnp.asarray(L["ids"]), nbrs=jnp.asarray(L["nbrs"]),
+                     down=jnp.asarray(L["down"]))
+        for L in levels)
+    return Graph(nbrs=graph.nbrs, eps=graph.eps, overlay=overlay)
+
+
+def affected_by_removal(nbrs: np.ndarray, removed: np.ndarray) -> np.ndarray:
+    """Live node ids having at least one removed neighbor."""
+    hit = np.isin(nbrs, removed).any(axis=1)
+    aff = np.flatnonzero(hit).astype(np.int32)
+    return aff[~np.isin(aff, removed)]
+
+
+def rewire_candidates(nbrs: np.ndarray, affected: np.ndarray,
+                      removed: np.ndarray) -> np.ndarray:
+    """Per-affected-node candidate rows: current edges ∪ the edges of its
+    removed neighbors (the 2-hop detour), removed + self masked to -1."""
+    rem_set = set(int(x) for x in removed)
+    rows = []
+    width = nbrs.shape[1]
+    for a in affected:
+        cur = nbrs[a]
+        cand = [c for c in cur if c >= 0 and c not in rem_set]
+        for c in cur:
+            if int(c) in rem_set:
+                cand.extend(int(x) for x in nbrs[c]
+                            if x >= 0 and int(x) not in rem_set and x != a)
+        # dedup, keep order
+        seen, out = set(), []
+        for c in cand:
+            if int(c) not in seen:
+                seen.add(int(c))
+                out.append(int(c))
+        rows.append(out)
+    maxc = max((len(x) for x in rows), default=width)
+    maxc = max(maxc, width)
+    arr = np.full((len(rows), maxc), -1, np.int32)
+    for i, x in enumerate(rows):
+        arr[i, : len(x)] = x
+    return arr
+
+
+def strip_overlay(graph: Graph, removed: np.ndarray) -> Graph:
+    """Drop removed nodes from overlay levels: their slots become padding
+    and rows pointing at them lose that edge. Down-chains through removed
+    slots are left intact (a removed node can still route, matching the
+    base layer's route-through-tombstone semantics)."""
+    if len(graph.overlay) == 0:
+        return graph
+    removed = np.asarray(removed, dtype=np.int32)
+    out = []
+    changed = False
+    for lvl in graph.overlay:
+        ids = np.asarray(lvl.ids)
+        dead = np.flatnonzero(np.isin(ids, removed))
+        if dead.size == 0:
+            out.append(lvl)
+            continue
+        nbrs = np.asarray(lvl.nbrs)
+        nbrs = np.where(np.isin(nbrs, dead), -1, nbrs)
+        ids = ids.copy()
+        ids[dead] = -1
+        out.append(OverlayLevel(ids=jnp.asarray(ids), nbrs=jnp.asarray(nbrs),
+                                down=lvl.down))
+        changed = True
+    if not changed:
+        return graph
+    return Graph(nbrs=graph.nbrs, eps=graph.eps, overlay=tuple(out))

@@ -28,7 +28,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.topk import merge_topk_with_flags
+from ..ops.topk import merge_topk_dedup, merge_topk_with_flags
 
 FINF = float("inf")  # plain python: jnp constants at module level would init the backend at import
 
@@ -326,24 +326,38 @@ def block_beam_search(
     pool_d = jnp.full((B, L), FINF, dtype=jnp.float32)
     pool_i = jnp.full((B, L), -1, dtype=jnp.int32)
     pool_c = jnp.zeros((B, L), dtype=bool)
-    ring = jnp.full((B, ring_size), -1, dtype=jnp.int32)
+    # pop-ring: every node this loop can ever expand (M * max_iters slots),
+    # so re-expansion is impossible — exact hnswlib checked-once semantics.
+    # Together with the in-pool check it is the COMPLETE visited structure:
+    # a rejected candidate can be re-scored after eviction (wasted score
+    # only), and within-hop duplicates are neutralized inside the merge
+    # sort (merge_topk_dedup), replacing the K-wide candidate ring + K x K
+    # dup compare of the round-1 design (2.1 -> ~0.7 ms/hop at B=4096).
+    P = max(8, -(-(M * max_iters) // 8) * 8)
+    popring = jnp.full((B, P), -1, dtype=jnp.int32)
 
-    # seeds enter with exact distances
-    ring, pool_d, pool_i, pool_c = _expand_ring(
-        space, queries, ring, pool_d, pool_i, pool_c, seeds, L)
-
+    # seeds enter with exact distances (dups in the seed list collapse in
+    # the dedup merge)
+    seed_safe = jnp.where(seeds >= 0, seeds, 0)
+    d_seed = jnp.where(seeds >= 0, space.gather_dists(queries, seed_safe),
+                       FINF)
+    pool_d, pool_i, pool_c = merge_topk_dedup(
+        pool_d, pool_i, pool_c, d_seed, jnp.where(seeds >= 0, seeds, -1),
+        jnp.zeros(seeds.shape, bool), L)
 
     def has_next(pool_d, pool_i, pool_c):
         return (~pool_c) & (pool_i >= 0) & jnp.isfinite(pool_d)
 
     def cond(state):
-        it, ring, pool_d, pool_i, pool_c = state
+        it, popring, pool_d, pool_i, pool_c = state
         return (it < max_iters) & jnp.any(has_next(pool_d, pool_i, pool_c))
 
     def body(state):
-        it, ring, pool_d, pool_i, pool_c = state
+        it, popring, pool_d, pool_i, pool_c = state
         u, active, pool_c = _pop_best_m(pool_d, pool_i, pool_c, M)  # [B, M]
         u_safe = jnp.where(active, u, 0)
+        popring = jnp.concatenate(
+            [popring[:, M:], jnp.where(active, u, -1)], axis=1)
         # estimate all M popped nodes' neighbor blocks in one batch
         if hasattr(space, "estimate_many"):
             est, nids = space.estimate_many(ctx, u_safe)            # [B, M*R]
@@ -354,19 +368,17 @@ def block_beam_search(
                                  out_axes=1)(ctx, u_safe)
             est = est.reshape(B, -1)                                # [B, M*R]
             nids = jnp.where(active[:, :, None], nids, -1).reshape(B, -1)
-        # ring probe keeps candidate order, so est stays aligned with nids
-        fresh = _ring_fresh(ring, pool_i, nids)
+        seen = jnp.concatenate([popring, pool_i], axis=1)           # [B, P+L]
+        stale = jnp.any(nids[:, :, None] == seen[:, None, :], axis=2)
+        fresh = (nids >= 0) & ~stale
         est = jnp.where(fresh, est, FINF)
-        pool_d, pool_i, pool_c = merge_topk_with_flags(
+        pool_d, pool_i, pool_c = merge_topk_dedup(
             pool_d, pool_i, pool_c,
             est, jnp.where(fresh, nids, -1), jnp.zeros_like(fresh), L)
-        K = nids.shape[1]
-        ring = (nids[:, -ring.shape[1]:] if K >= ring.shape[1] else
-                jnp.concatenate([ring[:, K:], nids], axis=1))
-        return it + 1, ring, pool_d, pool_i, pool_c
+        return it + 1, popring, pool_d, pool_i, pool_c
 
-    state = (jnp.zeros((), jnp.int32), ring, pool_d, pool_i, pool_c)
-    _, ring, pool_d, pool_i, pool_c = jax.lax.while_loop(cond, body, state)
+    state = (jnp.zeros((), jnp.int32), popring, pool_d, pool_i, pool_c)
+    _, popring, pool_d, pool_i, pool_c = jax.lax.while_loop(cond, body, state)
 
     # exact rerank of the whole pool (res_pool + supplement semantics)
     safe = jnp.where(pool_i >= 0, pool_i, 0)
@@ -374,7 +386,14 @@ def block_beam_search(
     node_ok = pool_i >= 0
     if valid is not None:
         node_ok &= valid[jnp.clip(pool_i, 0, C - 1)]
-    d_exact = jnp.where(node_ok, d_exact, FINF)
+    # result-dedup safety net: spaces whose per-block estimates of the same
+    # node differ (so dup copies are not sort-adjacent in merge_topk_dedup)
+    # can leave two live copies in the pool — L x L lower-tri compare is
+    # ~free at pool width
+    Lw = pool_i.shape[1]
+    dup = jnp.any((pool_i[:, :, None] == pool_i[:, None, :])
+                  & jnp.tril(jnp.ones((Lw, Lw), bool), k=-1)[None], axis=2)
+    d_exact = jnp.where(node_ok & ~dup, d_exact, FINF)
     nd, sel = jax.lax.top_k(-d_exact, k)
     ids = jnp.take_along_axis(pool_i, sel, axis=1)
     out_d = -nd

@@ -91,6 +91,12 @@ class IndexParams:
     # bf16 MXU scan + approx selection + f32 rerank (recall ≥ 0.999 vs
     # exact, ~8x faster) — opt in for throughput.
     flat_mode: str = "exact"
+    # when the tombstoned fraction of stored vectors exceeds this, remove()
+    # triggers a batched edge rewire: every live node that lost a neighbor
+    # re-selects edges through the removed nodes' 2-hop neighborhoods (the
+    # reference's GraphUpdateJob::update applied lazily in bulk,
+    # graph_update_job.hpp:105-137). 0 disables.
+    compaction_threshold: float = 0.2
 
     def __post_init__(self) -> None:
         self.index_type = IndexType.parse(self.index_type)

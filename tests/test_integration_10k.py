@@ -1,0 +1,46 @@
+"""10k-scale integration tests with a recall floor — the reference's
+integration tier (tests/executor/search_test.cpp:111-181 runs 10k siftsmall
+and asserts recall); here the same shape on clustered synthetic data so the
+suite stays network-free.
+"""
+
+import numpy as np
+import pytest
+
+from alayalite_tpu import Index, IndexParams
+from alayalite_tpu.utils.datasets import random_dataset
+from alayalite_tpu.utils.evaluate import calc_gt, calc_recall
+
+N, DIM, NQ, TOPK = 10_000, 48, 128, 10
+
+
+@pytest.fixture(scope="module")
+def ds():
+    d = random_dataset(n=N, dim=DIM, n_queries=NQ, seed=17, clusters=64)
+    gt = calc_gt(d.data, d.queries, TOPK)
+    return d, gt
+
+
+def test_hnsw_10k_recall_floor(ds):
+    d, gt = ds
+    idx = Index("i10k", IndexParams(index_type="hnsw", capacity=N,
+                                    max_nbrs=24, ef_construction=128))
+    idx.fit(d.data)
+    ids = idx.batch_search(d.queries, TOPK, ef_search=64)
+    rec = calc_recall(ids, gt)
+    assert rec >= 0.92, f"hnsw 10k recall {rec}"
+
+
+def test_bsq8_10k_recall_floor(ds):
+    d, gt = ds
+    idx = Index("b10k", IndexParams(index_type="hnsw", capacity=N,
+                                    max_nbrs=24, ef_construction=128,
+                                    quantization_type="bsq8"))
+    idx.fit(d.data)
+    ids = idx.batch_search(d.queries, TOPK, ef_search=64)
+    rec = calc_recall(ids, gt)
+    assert rec >= 0.90, f"bsq8 10k recall {rec}"
+    # no duplicate ids within any result row (merge-dedup invariant)
+    for row in ids:
+        live = row[row >= 0]
+        assert len(set(live.tolist())) == len(live)

@@ -1,0 +1,127 @@
+"""Long-lived index maintenance: overlay-extending insert, per-node update,
+tombstone compaction, and insert/remove churn.
+
+Reference analogs: hnswlib.hpp:652-750 (add_point links layers > 0 with
+P(level >= l) = R^-l), graph_update_job.hpp:105-137 (update() re-selects a
+node's edges through removed neighbors' 2-hop lists), and
+tests/executor/update_test.cpp:48-110 (churn holds recall vs deleted-set GT).
+"""
+
+import numpy as np
+
+from alayalite_tpu import Index, IndexParams
+from alayalite_tpu.index.overlay_update import draw_levels
+from alayalite_tpu.utils.datasets import random_dataset
+from alayalite_tpu.utils.evaluate import calc_gt, calc_recall
+
+N, DIM = 1200, 16
+
+
+def _overlay_occupancy(graph):
+    return [int((np.asarray(l.ids) >= 0).sum()) for l in graph.overlay]
+
+
+def test_draw_levels_matches_reference_law():
+    rng = np.random.default_rng(0)
+    lv = draw_levels(rng, 200_000, r=16, max_level=8)
+    # P(level >= 1) = 1/16
+    frac = float((lv >= 1).mean())
+    assert abs(frac - 1 / 16) < 0.005, frac
+    frac2 = float((lv >= 2).mean())
+    assert abs(frac2 - 1 / 256) < 0.002, frac2
+
+
+def test_insert_extends_overlay():
+    ds = random_dataset(n=N, dim=DIM, n_queries=8, seed=5)
+    idx = Index("t", IndexParams(index_type="hnsw", capacity=N + 512,
+                                 max_nbrs=8, ef_construction=64))
+    idx.fit(ds.data)
+    eng = idx._engine
+    assert len(eng.graph.overlay) >= 1
+    occ0 = _overlay_occupancy(eng.graph)
+    # levels are padded to capacity scale -> free slots exist
+    assert np.asarray(eng.graph.overlay[-1].ids).shape[0] > occ0[-1]
+    rng = np.random.default_rng(11)
+    # in-distribution inserts (perturbed copies): this test exercises the
+    # overlay mechanics, not outlier reachability
+    new = (ds.data[rng.integers(0, N, size=256)]
+           + 0.05 * rng.normal(size=(256, DIM)).astype(np.float32))
+    new_ids = idx.insert(new)
+    assert (np.asarray(new_ids) >= 0).all()
+    occ1 = _overlay_occupancy(eng.graph)
+    # with r=8, P(level>=1)=1/8: 256 inserts -> ~32 overlay additions
+    assert occ1[-1] > occ0[-1], (occ0, occ1)
+    # overlay invariants: occupied slots' down pointers resolve; local
+    # neighbor indices point at occupied slots
+    for li, lvl in enumerate(eng.graph.overlay):
+        ids = np.asarray(lvl.ids)
+        nbrs = np.asarray(lvl.nbrs)
+        down = np.asarray(lvl.down)
+        occ = np.flatnonzero(ids >= 0)
+        tgt = nbrs[occ]
+        assert (ids[tgt[tgt >= 0]] >= 0).all(), f"level {li} edge to free slot"
+        if li + 1 < len(eng.graph.overlay):
+            below = np.asarray(eng.graph.overlay[li + 1].ids)
+            assert (below[down[occ]] == ids[occ]).all(), f"level {li} down"
+        else:
+            assert (down[occ] == ids[occ]).all()
+    # the index still searches fine end-to-end
+    ids = idx.batch_search(new[:16], 5, ef_search=64)
+    hit = np.mean([new_ids[i] in ids[i] for i in range(16)])
+    assert hit >= 0.9, hit
+
+
+def test_update_nodes_rewires_through_removed():
+    ds = random_dataset(n=N, dim=DIM, n_queries=16, seed=6)
+    idx = Index("t", IndexParams(index_type="hnsw", capacity=N, max_nbrs=16,
+                                 ef_construction=64,
+                                 compaction_threshold=0.0))  # manual only
+    idx.fit(ds.data)
+    eng = idx._engine
+    removed = np.arange(0, N, 5, dtype=np.int32)
+    idx.remove(removed)
+    nbrs_before = np.asarray(eng.graph.nbrs)
+    affected = np.flatnonzero(np.isin(nbrs_before, removed).any(axis=1))
+    eng.compact()
+    nbrs_after = np.asarray(eng.graph.nbrs)
+    # compaction removed every tombstoned id from live nodes' rows
+    live_rows = nbrs_after[np.setdiff1d(np.arange(N), removed)]
+    assert not np.isin(live_rows, removed).any()
+    assert affected.size > 0
+    gt = calc_gt(ds.data, ds.queries, 10, deleted=removed)
+    ids = idx.batch_search(ds.queries, 10, ef_search=80)
+    assert calc_recall(ids, gt) >= 0.8
+
+
+def test_churn_30pct_holds_recall():
+    """30% churn (reference update_test.cpp:48-110): remove a third of the
+    points, insert replacements, repeat; recall vs live-set GT stays >= 0.8
+    and results never contain a removed id."""
+    n = 900
+    ds = random_dataset(n=n, dim=DIM, n_queries=16, seed=9)
+    idx = Index("t", IndexParams(index_type="hnsw", capacity=3 * n,
+                                 max_nbrs=16, ef_construction=64,
+                                 compaction_threshold=0.15))
+    idx.fit(ds.data)
+    rng = np.random.default_rng(1)
+    all_vecs = {i: ds.data[i] for i in range(n)}
+    live = set(range(n))
+    for round_ in range(3):
+        doomed = rng.choice(sorted(live), size=n // 10, replace=False)
+        idx.remove(doomed.astype(np.int32))
+        live -= set(int(x) for x in doomed)
+        fresh = rng.normal(size=(n // 10, DIM)).astype(np.float32)
+        new_ids = idx.insert(fresh)
+        assert (np.asarray(new_ids) >= 0).all()
+        for j, nid in enumerate(np.asarray(new_ids)):
+            all_vecs[int(nid)] = fresh[j]
+            live.add(int(nid))
+    live_ids = np.asarray(sorted(live), dtype=np.int64)
+    base = np.stack([all_vecs[int(i)] for i in live_ids])
+    d2 = ((ds.queries[:, None, :] - base[None]) ** 2).sum(-1)
+    gt = live_ids[np.argsort(d2, axis=1)[:, :10]]
+    ids = idx.batch_search(ds.queries, 10, ef_search=96)
+    dead = np.setdiff1d(np.arange(idx._engine.num), live_ids)
+    assert not np.isin(ids[ids >= 0], dead).any()
+    rec = calc_recall(ids, gt.astype(np.int64))
+    assert rec >= 0.8, f"churn recall {rec}"

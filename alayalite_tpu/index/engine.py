@@ -91,7 +91,8 @@ def _make_quant_space(params: IndexParams, capacity: int, dim: int):
     if params.quantization_type is QuantizationType.RABITQ:
         from ..spaces.rabitq import RaBitQSpace
 
-        return RaBitQSpace.create(capacity, dim, metric=params.metric.value)
+        return RaBitQSpace.create(capacity, dim, metric=params.metric.value,
+                                  rotator=getattr(params, "rotator", "matrix"))
     if params.quantization_type is QuantizationType.BSQ8:
         from ..spaces.bqg import BQGSpace
 
@@ -200,7 +201,10 @@ class IndexEngine:
 
             d, i = block_search_device(self.search_space, self.graph.eps, qj,
                                        k=topk, ef=ef, valid=self.space.valid,
-                                       n_expand=m, qchunk=qchunk)
+                                       max_iters=getattr(self.params,
+                                                         "search_iters", 0),
+                                       n_expand=m, qchunk=qchunk,
+                                       seed_sample=self._seed_scan_arrays())
             return np.asarray(i)[:nq], np.asarray(d)[:nq]
         from .search import graph_search_device
 
@@ -232,6 +236,31 @@ class IndexEngine:
     def search_with_distance(self, query, topk: int, ef: int = 100):
         ids, d = self.batch_search_with_distance(np.atleast_2d(query), topk, ef)
         return ids[0], d[0]
+
+    def _seed_scan_arrays(self):
+        """Cached (ids, vecs bf16, sq_norms) sample for per-query seed
+        selection (search.scan_seeds). Refreshed when the stored set
+        changes; None below 256 points or when params.seed_sample == 0."""
+        S = int(getattr(self.params, "seed_sample", 4096))
+        n = int(self.space.num)
+        if S <= 0 or n < 256:
+            return None
+        version = (n, getattr(self, "_mutations", 0))
+        if (getattr(self, "_sscan", None) is None
+                or self._sscan_version != version):
+            live = np.flatnonzero(np.asarray(self.space.valid[:n]))
+            S = min(S, (live.size // 128) * 128)
+            if S < 128:
+                return None
+            rng = np.random.default_rng(0x5EED)
+            ids = jnp.asarray(np.sort(rng.choice(live, size=S,
+                                                 replace=False))
+                              .astype(np.int32))
+            vec = self.space.data[ids].astype(jnp.float32)
+            self._sscan = (ids, vec.astype(jnp.bfloat16),
+                           jnp.sum(vec * vec, axis=1))
+            self._sscan_version = version
+        return self._sscan
 
     def _flat_fast_search(self, q, topk: int):
         """One-dispatch flat fast path: cached padded slab + in-jit query

@@ -95,51 +95,21 @@ def _expand(space, q, visited, pool_d, pool_i, pool_c, cand_ids, ef: int):
     return visited, pool_d, pool_i, pool_c
 
 
-def _ring_fresh(ring: jax.Array, pool_i: jax.Array, cand: jax.Array,
-                pop_ring: Optional[jax.Array] = None):
-    """Visited filtering without scatter or sort (the TPU-fast path).
-
-    The bitmask visited set costs a scatter + sorted probe every hop (~11 ms
-    at B=4096 on v5e — measured, scripts/ablate_beam.py); this replaces it
-    with dense broadcast-compares (<1 ms): a candidate is fresh unless it
-    (a) sits in the recent-visit ring, (b) sits in the pool, (c) duplicates
-    an earlier candidate in the same batch, or (d) was already *expanded*
-    (``pop_ring`` — sized to hold every pop the loop can make, so
-    re-expansion cycles are impossible and termination matches the
-    reference's every-node-expanded-once semantics). Nodes merely *scored*
-    long ago can be re-scored after eviction — wasted work only.
-    """
-    in_ring = jnp.any(cand[:, :, None] == ring[:, None, :], axis=2)
-    in_pool = jnp.any(cand[:, :, None] == pool_i[:, None, :], axis=2)
-    K = cand.shape[1]
-    # dup_earlier[k] = some j < k has the same id (mask[k, j] = j < k)
-    dup = (cand[:, :, None] == cand[:, None, :]) & \
-        jnp.tril(jnp.ones((K, K), dtype=bool), k=-1)[None, :, :]
-    dup_earlier = jnp.any(dup, axis=2)
-    fresh = (cand >= 0) & ~in_ring & ~in_pool & ~dup_earlier
-    if pop_ring is not None:
-        fresh &= ~jnp.any(cand[:, :, None] == pop_ring[:, None, :], axis=2)
-    return fresh
-
-
-def _expand_ring(space, q, ring, pool_d, pool_i, pool_c, cand_ids, ef: int,
-                 pop_ring: Optional[jax.Array] = None):
-    """Ring-based variant of _expand: no scatter, no sort, ids keep their
-    incoming order (so callers can align per-candidate payloads)."""
-    fresh = _ring_fresh(ring, pool_i, cand_ids, pop_ring)
+def _expand_popring(space, q, popring, pool_d, pool_i, pool_c, cand_ids,
+                    ef: int):
+    """Popring-based expand (the r2 visited design, see block_beam_search):
+    stale = in-pool or already-expanded; within-batch duplicates collapse in
+    the merge sort (exact distances of equal ids are equal, so copies are
+    sort-adjacent). K x (P+L) compares instead of K x (ring+L+K)."""
+    seen = jnp.concatenate([popring, pool_i], axis=1)
+    stale = jnp.any(cand_ids[:, :, None] == seen[:, None, :], axis=2)
+    fresh = (cand_ids >= 0) & ~stale
     safe = jnp.where(fresh, cand_ids, 0)
     d = space.gather_dists(q, safe)
     d = jnp.where(fresh, d, FINF)
-    new_i = jnp.where(fresh, cand_ids, -1)
-    pool_d, pool_i, pool_c = merge_topk_with_flags(
-        pool_d, pool_i, pool_c, d, new_i, jnp.zeros_like(fresh), ef)
-    K = cand_ids.shape[1]
-    V = ring.shape[1]
-    if K >= V:
-        ring = cand_ids[:, -V:]
-    else:
-        ring = jnp.concatenate([ring[:, K:], cand_ids], axis=1)
-    return ring, pool_d, pool_i, pool_c
+    return merge_topk_dedup(
+        pool_d, pool_i, pool_c, d, jnp.where(fresh, cand_ids, -1),
+        jnp.zeros_like(fresh), ef)
 
 
 @functools.partial(jax.jit,
@@ -168,9 +138,10 @@ def beam_search(
     the reference's strictly-greedy single pop. Recall at equal ef is
     unchanged or slightly better (wider frontier).
 
-    ``visited_mode``: "ring" (default) — recent-window dedup, scatter-free
-    (see _ring_fresh); "bitmask" — exact per-query bitset (the reference's
-    DynamicBitset semantics), ~2x slower per hop on TPU.
+    ``visited_mode``: "ring" (default) — pop-ring + in-pool membership +
+    merge-sort dedup, scatter-free (see _expand_popring); "bitmask" — exact
+    per-query bitset (the reference's DynamicBitset semantics), ~2x slower
+    per hop on TPU.
     """
     B = queries.shape[0]
     C = nbrs.shape[0]
@@ -187,49 +158,47 @@ def beam_search(
     pool_d = jnp.full((B, L), FINF, dtype=jnp.float32)
     pool_i = jnp.full((B, L), -1, dtype=jnp.int32)
     pool_c = jnp.zeros((B, L), dtype=bool)
-    # optional expanded-node memory: forbids re-expansion entirely
-    # (hnswlib checked-bit semantics). Measured on v5e: the extra compare
-    # costs more than the rare re-expansions it saves, so default off.
-    P = -(-(M * max_iters) // 128) * 128 if track_pops else 1
+    # "ring" mode r2 redesign: the visited structure is a pop-ring sized to
+    # hold EVERY node the loop can expand (M * max_iters) — exact
+    # checked-once semantics — plus the in-pool membership check; batch
+    # duplicates collapse inside the merge sort (merge_topk_dedup).
+    # ``track_pops`` and ``ring_size`` are retained for signature
+    # compatibility; the pop-ring subsumes both.
+    del track_pops
+    P = max(8, -(-(M * max_iters) // 8) * 8)
     if use_ring:
-        visited = jnp.full((B, ring_size), -1, dtype=jnp.int32)
-        pop_ring = jnp.full((B, P), -1, dtype=jnp.int32)
-        visited, pool_d, pool_i, pool_c = _expand_ring(
+        visited = jnp.full((B, P), -1, dtype=jnp.int32)
+        pool_d, pool_i, pool_c = _expand_popring(
             space, queries, visited, pool_d, pool_i, pool_c, seeds, L)
     else:
         visited = jnp.zeros((B, W), dtype=jnp.uint32)
-        pop_ring = jnp.zeros((B, 1), jnp.int32)  # unused
         visited, pool_d, pool_i, pool_c = _expand(
             space, queries, visited, pool_d, pool_i, pool_c, seeds, L)
-
 
     def has_next(pool_d, pool_i, pool_c):
         return (~pool_c) & (pool_i >= 0) & jnp.isfinite(pool_d)
 
     def cond(state):
-        it, visited, pop_ring, pool_d, pool_i, pool_c = state
+        it, visited, pool_d, pool_i, pool_c = state
         return (it < max_iters) & jnp.any(has_next(pool_d, pool_i, pool_c))
 
     def body(state):
-        it, visited, pop_ring, pool_d, pool_i, pool_c = state
+        it, visited, pool_d, pool_i, pool_c = state
         u, active, pool_c = _pop_best_m(pool_d, pool_i, pool_c, M)  # [B, M]
         nb = nbrs[jnp.where(active, u, 0)]                          # [B, M, R]
         nb = jnp.where(active[:, :, None], nb, -1).reshape(B, -1)
         if use_ring:
-            if track_pops:
-                pop_ring = jnp.concatenate(
-                    [pop_ring[:, M:], jnp.where(active, u, -1)], axis=1)
-            visited, pool_d, pool_i, pool_c = _expand_ring(
-                space, queries, visited, pool_d, pool_i, pool_c, nb, L,
-                pop_ring if track_pops else None)
+            visited = jnp.concatenate(
+                [visited[:, M:], jnp.where(active, u, -1)], axis=1)
+            pool_d, pool_i, pool_c = _expand_popring(
+                space, queries, visited, pool_d, pool_i, pool_c, nb, L)
         else:
             visited, pool_d, pool_i, pool_c = _expand(
                 space, queries, visited, pool_d, pool_i, pool_c, nb, L)
-        return it + 1, visited, pop_ring, pool_d, pool_i, pool_c
+        return it + 1, visited, pool_d, pool_i, pool_c
 
-    state = (jnp.zeros((), jnp.int32), visited, pop_ring,
-             pool_d, pool_i, pool_c)
-    _, visited, pop_ring, pool_d, pool_i, pool_c = jax.lax.while_loop(
+    state = (jnp.zeros((), jnp.int32), visited, pool_d, pool_i, pool_c)
+    _, visited, pool_d, pool_i, pool_c = jax.lax.while_loop(
         cond, body, state)
 
     # Result extraction: drop tombstoned / absent entries, return best k.
@@ -472,6 +441,32 @@ def graph_search_device(
     return d.reshape(Q, k), i.reshape(Q, k)
 
 
+def scan_seeds(q: jax.Array, sample_ids: jax.Array, sample_vecs: jax.Array,
+               sample_sq: jax.Array, nseed: int = 8) -> jax.Array:
+    """Per-query entry points from ONE MXU pass over a point sample.
+
+    The hop-schedule sweep (results/sweep_hop_sched.json) showed recall is
+    limited by serial hop depth from shared entry points; a [B, S] bf16
+    scan (S=4096 at D=128: ~4 GFLOP, trivial on the MXU) starts each query
+    2-4 hops closer: bsq8@100k holds 0.957 recall at 4 hops instead of 8 —
+    238k -> 438k chip QPS (scripts/proto_seedscan.py). Fills the role the
+    overlay hierarchy plays for raw graphs (the reference's upper HNSW
+    layers, hnswlib.hpp greedy descent) for block indices, TPU-style.
+
+    Seed selection uses the approximate top-k unit — exact top-k of a
+    4096-wide row is a full sort (~1.5 ms/chunk), and seeds only need to
+    be *close*.
+    """
+    dot = jnp.dot(q.astype(jnp.bfloat16), sample_vecs.T,
+                  preferred_element_type=jnp.float32)       # [B, S]
+    d = sample_sq[None, :] - 2.0 * dot
+    if d.shape[1] > 4 * nseed:
+        _, sel = jax.lax.approx_max_k(-d, nseed, recall_target=0.9)
+    else:
+        _, sel = jax.lax.top_k(-d, nseed)
+    return sample_ids[sel]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "ef", "max_iters", "n_expand",
                                     "ring_size", "qchunk"))
@@ -486,13 +481,22 @@ def block_search_device(
     n_expand: int = 8,
     ring_size: int = 256,
     qchunk: int = 4096,
+    seed_sample: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """block_beam_search for a large batch in one dispatch (lax.map)."""
+    """block_beam_search for a large batch in one dispatch (lax.map).
+
+    ``seed_sample`` = (ids [S], vecs [S, D] bf16, sq_norms [S]) enables the
+    per-query seed scan (see scan_seeds); None falls back to the shared
+    entry points ``eps``.
+    """
     Q, D = q_all.shape
     S = Q // qchunk
 
     def one(q):
-        seeds = jnp.broadcast_to(eps[None, :], (q.shape[0], eps.shape[0]))
+        if seed_sample is not None:
+            seeds = scan_seeds(q, *seed_sample)
+        else:
+            seeds = jnp.broadcast_to(eps[None, :], (q.shape[0], eps.shape[0]))
         return block_beam_search(space, seeds, q, k=k, ef=ef,
                                  max_iters=max_iters, valid=valid,
                                  n_expand=n_expand, ring_size=ring_size)

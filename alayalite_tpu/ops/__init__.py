@@ -1,5 +1,5 @@
 from .distance import exact_topk, normalize_rows, pairwise, sqnorms
-from .topk import merge_topk, merge_topk_with_flags
+from .topk import merge_topk, merge_topk_dedup, merge_topk_with_flags
 
 __all__ = [
     "exact_topk",
@@ -7,5 +7,6 @@ __all__ = [
     "pairwise",
     "sqnorms",
     "merge_topk",
+    "merge_topk_dedup",
     "merge_topk_with_flags",
 ]

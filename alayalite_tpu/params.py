@@ -86,11 +86,24 @@ class IndexParams:
     # entries popped per lockstep hop (CAGRA-style multi-expansion); 1 ==
     # strictly-greedy reference semantics, 8 is the TPU sweet spot (tune_hops.py).
     beam_expand: int = 8
+    # hop cap for the lockstep beam; 0 = auto (max(8, ef/beam_expand + 4)).
+    # Tuned jointly with beam_expand (scripts/sweep_hop_sched.py).
+    search_iters: int = 0
+    # per-query seed scan for block (bsq8/rabitq) indices: sample size for
+    # the one-MXU-pass entry-point selection (search.scan_seeds). 0 turns
+    # it off (shared entry points). Plays the role of the HNSW upper
+    # layers for flat-adjacency block graphs; measured 238k -> 438k chip
+    # QPS at recall 0.957 on bsq8@100k (scripts/proto_seedscan.py).
+    seed_sample: int = 4096
     # flat index scan mode: "exact" (default) = single-pass full-precision
     # brute force, matching the reference's exact FLAT semantics; "fast" =
     # bf16 MXU scan + approx selection + f32 rerank (recall ≥ 0.999 vs
     # exact, ~8x faster) — opt in for throughput.
     flat_mode: str = "exact"
+    # RaBitQ rotator: "matrix" (QR orthonormal, MatrixRotator) or "fht_kac"
+    # (sign-flip + Walsh-Hadamard rounds, FhtKac rotator, power-of-two dims;
+    # materialized to its equivalent matrix at create — rotator.hpp:85-166).
+    rotator: str = "matrix"
     # when the tombstoned fraction of stored vectors exceeds this, remove()
     # triggers a batched edge rewire: every live node that lost a neighbor
     # re-selects edges through the removed nodes' 2-hop neighborhoods (the
@@ -120,6 +133,8 @@ class IndexParams:
                                  "(normalization is fractional)")
             if self.storage_dtype == "float32":
                 self.storage_dtype = self.data_type
+        if self.rotator not in ("matrix", "fht_kac"):
+            raise ValueError(f"invalid rotator {self.rotator!r}")
         if int(self.capacity) <= 0:
             raise ValueError("capacity must be positive")
         if int(self.max_nbrs) <= 0:
@@ -155,6 +170,9 @@ class IndexParams:
             "storage_dtype": self.storage_dtype,
             "ef_construction": self.ef_construction,
             "beam_expand": self.beam_expand,
+            "search_iters": self.search_iters,
+            "rotator": self.rotator,
+            "compaction_threshold": self.compaction_threshold,
             "flat_mode": self.flat_mode,
         }
 

@@ -95,6 +95,13 @@ class SearchServer:
                     fut.set_exception(err)
                 else:
                     fut.set_result((ids[row], dists[row]))
+        # queue closed: fail every future still waiting so no client hangs
+        with self._futures_lock:
+            leftovers = list(self._futures.values())
+            self._futures.clear()
+        for fut in leftovers:
+            if not fut.done():
+                fut.set_exception(RuntimeError("server closed"))
 
     def close(self) -> None:
         self._closed = True

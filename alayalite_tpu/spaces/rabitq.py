@@ -51,6 +51,40 @@ def make_rotation(dim: int, seed: int = 0) -> np.ndarray:
     return q.astype(np.float32)
 
 
+def make_fht_kac_rotation(dim: int, seed: int = 0, rounds: int = 4) -> np.ndarray:
+    """The FhtKac rotator (rotator.hpp:127-166) MATERIALIZED as its
+    equivalent orthonormal matrix: ``rounds`` of (random ±1 sign flip,
+    normalized Walsh-Hadamard transform) applied to the identity.
+
+    Identical transform semantics to the reference's per-vector FhtKac; on
+    TPU the one-off D x D materialization then rides the MXU as a plain
+    matmul, which measures FASTER than per-call FWHT butterflies at
+    D <= 2048 (DESIGN.md rotation study) — so this is how the FhtKac
+    *option* is wired, not a fallback. Requires power-of-two dim (the
+    reference pads; callers with odd dims use the matrix rotator).
+    """
+    if dim & (dim - 1):
+        raise ValueError("fht_kac rotator requires power-of-two dim "
+                         "(use rotator='matrix' otherwise)")
+    rng = np.random.default_rng(seed)
+    m = np.eye(dim, dtype=np.float64)
+    for _ in range(rounds):
+        signs = rng.choice([-1.0, 1.0], size=dim)
+        m = m * signs[None, :]          # flip input coords
+        # one FWHT butterfly pass over columns (rows of m.T): iterative
+        h = 1
+        while h < dim:
+            m = m.reshape(dim, dim // (2 * h), 2, h)
+            a = m[:, :, 0, :] + m[:, :, 1, :]
+            b = m[:, :, 0, :] - m[:, :, 1, :]
+            m = np.stack([a, b], axis=2).reshape(dim, dim)
+            h *= 2
+        m = m / np.sqrt(dim)
+    # m maps row-vector x via x @ m.T? We built column-transform: m[i, j] =
+    # (FhtKac e_j)[i]; x @ m.T rotates like fht_kac_rotate(x).
+    return m.T.astype(np.float32)
+
+
 def _pack_bits(bits: np.ndarray) -> np.ndarray:
     """bool [..., D] → packed uint8 [..., D/8] (D must be a multiple of 8)."""
     return np.packbits(bits.astype(np.uint8), axis=-1, bitorder="little")
@@ -91,7 +125,7 @@ class RaBitQSpace:
     # ---- construction ----
     @staticmethod
     def create(capacity: int, dim: int, metric: str = "l2",
-               seed: int = 0) -> "RaBitQSpace":
+               seed: int = 0, rotator: str = "matrix") -> "RaBitQSpace":
         metric = metric.lower()
         if metric not in ("l2", "cos"):
             # the estimator is an L2 construction; cos := normalize-then-L2
@@ -99,10 +133,14 @@ class RaBitQSpace:
         dpad = -(-dim // 8) * 8
         if dpad != dim:
             raise ValueError("rabitq requires dim to be a multiple of 8")
+        if rotator not in ("matrix", "fht_kac"):
+            raise ValueError(f"unknown rotator {rotator!r}")
+        rot = (make_fht_kac_rotation(dim, seed) if rotator == "fht_kac"
+               else make_rotation(dim, seed))
         return RaBitQSpace(
             data=jnp.zeros((capacity, dim), dtype=jnp.float32),
             sq_norms=jnp.zeros((capacity,), dtype=jnp.float32),
-            rot=jnp.asarray(make_rotation(dim, seed)),
+            rot=jnp.asarray(rot),
             nbr_ids=jnp.full((capacity, DEGREE), -1, dtype=jnp.int32),
             nbr_bits=jnp.zeros((capacity, DEGREE, dim // 8), dtype=jnp.uint8),
             f_add=jnp.zeros((capacity, DEGREE), dtype=jnp.float32),

@@ -33,7 +33,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from alayalite_tpu.ops.topk import merge_topk_with_flags  # noqa: E402
-from alayalite_tpu.index.search import _ring_fresh  # noqa: E402
+from _r1_ring import _ring_fresh  # noqa: E402
 
 B = int(os.environ.get("PB_B", "4096"))
 N = int(os.environ.get("PB_N", "100000"))

@@ -28,7 +28,7 @@ enable_compile_cache()
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from alayalite_tpu.index.search import _ring_fresh  # noqa: E402
+from _r1_ring import _ring_fresh  # noqa: E402
 
 B, K, L, RING, P, M, R = 4096, 256, 24, 256, 64, 8, 32
 ITERS = 32

@@ -39,3 +39,40 @@ def test_fht_kac_preserves_norm(rng):
     y = np.asarray(fht_kac_rotate(jnp.asarray(x), signs))
     np.testing.assert_allclose(np.linalg.norm(y, axis=1),
                                np.linalg.norm(x, axis=1), rtol=1e-4)
+
+
+def test_fht_kac_materialized_matrix_matches_op():
+    """make_fht_kac_rotation == fht_kac_rotate semantics: the materialized
+    matrix applied as q @ rot.T (the space's convention) must equal running
+    the sign-flip + FWHT rounds directly, and be orthonormal."""
+    import jax.numpy as jnp
+
+    from alayalite_tpu.ops.hadamard import fht_kac_rotate
+    from alayalite_tpu.spaces.rabitq import make_fht_kac_rotation
+
+    dim, rounds, seed = 64, 4, 7
+    rot = make_fht_kac_rotation(dim, seed=seed, rounds=rounds)
+    # reproduce the same sign draws
+    rng = np.random.default_rng(seed)
+    signs = np.stack([rng.choice([-1.0, 1.0], size=dim)
+                      for _ in range(rounds)]).astype(np.float32)
+    x = np.random.default_rng(1).normal(size=(8, dim)).astype(np.float32)
+    want = np.asarray(fht_kac_rotate(jnp.asarray(x), jnp.asarray(signs),
+                                     rounds=rounds))
+    got = x @ rot.T
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(rot @ rot.T, np.eye(dim), atol=1e-4)
+
+
+def test_rabitq_fht_kac_rotator_end_to_end():
+    from alayalite_tpu import Index, IndexParams
+    from alayalite_tpu.utils.datasets import random_dataset
+
+    ds = random_dataset(n=400, dim=32, n_queries=16, seed=2)
+    idx = Index("f", IndexParams(index_type="hnsw", capacity=400,
+                                 max_nbrs=16, ef_construction=64,
+                                 quantization_type="rabitq",
+                                 rotator="fht_kac"))
+    idx.fit(ds.data)
+    ids = idx.batch_search(ds.data[:16], 5, ef_search=64)
+    assert np.mean(ids[:, 0] == np.arange(16)) >= 0.9

@@ -84,3 +84,61 @@ def test_error_propagates_to_all_waiters():
     finally:
         idx._engine.batch_search_with_distance = orig
         server.close()
+
+
+def test_stress_concurrent_clients_with_error_and_close():
+    """Stress tier: 8 client threads hammering the server while one batch
+    errors mid-stream; then close() under load must fail (not hang) every
+    still-pending request."""
+    import time
+
+    ds = random_dataset(n=400, dim=16, n_queries=0, seed=8)
+    idx = Index("st", IndexParams(index_type="flat", capacity=400))
+    idx.fit(ds.data)
+    server = SearchServer(idx, topk=1, ef=10, max_batch=32, timeout_us=2000)
+    orig = idx._engine.batch_search_with_distance
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("boom")
+        return orig(*a, **kw)
+
+    idx._engine.batch_search_with_distance = flaky
+    ok, errs = [], []
+
+    def client(t):
+        for i in range(t * 20, t * 20 + 20):
+            try:
+                ids, _ = server.search(ds.data[i])
+                ok.append((i, int(ids[0])))
+            except RuntimeError:
+                errs.append(i)
+
+    threads = [threading.Thread(target=client, args=(t,)) for t in range(8)]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert all(not t.is_alive() for t in threads)
+        # every request either succeeded correctly or saw the injected error
+        assert all(i == r for i, r in ok)
+        assert len(ok) + len(errs) == 160
+        assert calls["n"] >= 3  # the error actually fired
+        # close under load: late submits fail fast, pending futures resolve
+        futs = [server.submit(ds.data[i]) for i in range(8)]
+        server.close()
+        t0 = time.time()
+        for f in futs:
+            try:
+                f.result(timeout=5)
+            except RuntimeError:
+                pass
+        assert time.time() - t0 < 5, "close() left futures hanging"
+        with pytest.raises(RuntimeError):
+            server.submit(ds.data[0])
+    finally:
+        idx._engine.batch_search_with_distance = orig
+        server.close()

@@ -111,25 +111,32 @@ def extend_overlay(graph: Graph, space, new_ids: np.ndarray,
                        np.array([below_slot[int(g)] for g in members],
                                 dtype=np.int32))
         for m in range(members.size):
-            chosen = occ[sel[m]]
             row = np.full(r2, -1, np.int32)
-            row[:k] = chosen
+            row[:k] = occ[sel[m]]
             nbrs[slots[m]] = row
-            # reverse edges: free slot, else replace the farthest if closer
-            for j, c in enumerate(chosen):
+            below_slot[int(members[m])] = int(slots[m])
+        # reverse edges: free slot, else replace the farthest if the new
+        # node is closer (hnswlib shrink-on-overflow). All overflow rows
+        # are scored in ONE device call — a per-edge call costs ~35 ms
+        # through a TPU tunnel.
+        pending = []  # (slot_of_new, c_slot, d_new_to_c)
+        for m in range(members.size):
+            for j, c in enumerate(occ[sel[m]]):
                 crow = nbrs[c]
                 hole = np.flatnonzero(crow < 0)
                 if hole.size:
                     crow[hole[0]] = slots[m]
-                    continue
-                cd = _batch_dists(
-                    space, np.asarray(space.data[int(ids[c])].astype(
-                        jnp.float32))[None],
-                    ids[crow][None])[0]
-                worst = int(np.argmax(cd))
-                if d[m, sel[m, j]] < cd[worst]:
-                    crow[worst] = slots[m]
-            below_slot[int(members[m])] = int(slots[m])
+                else:
+                    pending.append((slots[m], int(c), d[m, sel[m, j]]))
+        if pending:
+            c_slots = np.array([p[1] for p in pending], dtype=np.int32)
+            c_vecs = np.asarray(space.data[jnp.asarray(ids[c_slots])]
+                                .astype(jnp.float32))
+            cd = _batch_dists(space, c_vecs, ids[nbrs[c_slots]])
+            for row_i, (new_slot, c, dnew) in enumerate(pending):
+                worst = int(np.argmax(cd[row_i]))
+                if dnew < cd[row_i][worst]:
+                    nbrs[c][worst] = new_slot
         changed = True
 
     if not changed:

@@ -341,6 +341,10 @@ def block_beam_search(
         stale = jnp.any(nids[:, :, None] == seen[:, None, :], axis=2)
         fresh = (nids >= 0) & ~stale
         est = jnp.where(fresh, est, FINF)
+        # (measured r2: an approx_max_k pre-select shrinking the merge from
+        # (L+M*R)- to (L+L')-wide is 40% SLOWER in-loop — the approx top-k
+        # lowering costs more than the narrower sort saves. Negative
+        # result; merge the full candidate row.)
         pool_d, pool_i, pool_c = merge_topk_dedup(
             pool_d, pool_i, pool_c,
             est, jnp.where(fresh, nids, -1), jnp.zeros_like(fresh), L)

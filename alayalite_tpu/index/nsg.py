@@ -46,7 +46,31 @@ def find_medoid(space, n: int) -> int:
 
 def _components_of(nbrs: np.ndarray, members: np.ndarray) -> np.ndarray:
     """Representative node of each connected component of the subgraph
-    induced by ``members`` (directed edges treated as undirected)."""
+    induced by ``members`` (directed edges treated as undirected).
+
+    Vectorized via scipy's union-find — the per-component BFS loop cost
+    ~1 python iteration per component (tens of seconds at 1M scale, where
+    repair typically sees ~19k singleton components)."""
+    members = np.asarray(members, dtype=np.int64)
+    try:
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import connected_components
+    except Exception:
+        return _components_of_bfs(nbrs, members)
+    local = np.full(nbrs.shape[0], -1, dtype=np.int64)
+    local[members] = np.arange(members.size)
+    src = np.repeat(members, nbrs.shape[1])
+    dst = nbrs[members].reshape(-1).astype(np.int64)
+    keep = (dst >= 0) & (local[np.clip(dst, 0, None)] >= 0)
+    u, v = local[src[keep]], local[dst[keep]]
+    m = coo_matrix((np.ones(u.size, np.int8), (u, v)),
+                   shape=(members.size, members.size))
+    _, labels = connected_components(m, directed=False)
+    first = np.unique(labels, return_index=True)[1]
+    return members[first].astype(np.int32)
+
+
+def _components_of_bfs(nbrs: np.ndarray, members: np.ndarray) -> np.ndarray:
     member_set = np.zeros(nbrs.shape[0], dtype=bool)
     member_set[members] = True
     unvisited = set(members.tolist())

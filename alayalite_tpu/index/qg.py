@@ -56,6 +56,7 @@ class QGBuilder:
     knn_k: int = 32
     chunk: int = 4096
     nnd_iters: int = 0  # 0 = auto (~log2 n rounds)
+    pool_iters: int = 0  # build-pool beam hop cap (0 = beam auto)
     seed: int = 0
 
     def build_graph(self, raw_space, rabitq_space, n: Optional[int] = None):
@@ -80,7 +81,7 @@ class QGBuilder:
         ep = find_medoid(raw_space, n)
         pool_d, pool_i = search_pool_dev(
             raw_space, knn_i, np.array([ep]), ef=self.ef, n=n,
-            chunk=self.chunk, seed=self.seed)
+            chunk=self.chunk, seed=self.seed, max_iters=self.pool_iters)
         cand_i = jnp.concatenate([pool_i, knn_i], axis=1)
         cand_d = jnp.concatenate([pool_d, knn_d], axis=1)
         log.info("qg: candidate pools %.1fs", time.time() - t0)
@@ -95,9 +96,11 @@ class QGBuilder:
                                    chunk=self.chunk)
         log.info("qg: prune+reverse+fill %.1fs", time.time() - t0)
 
-        nbrs = np.array(nbrs_dev)  # single adjacency download
+        nbrs = np.array(nbrs_dev)  # blocks on all queued device phases too
+        log.info("qg: device sync + adjacency download %.1fs", time.time() - t0)
         nbrs = _attach_unreached(raw_space, nbrs, ep, ef=self.ef,
                                  chunk=self.chunk)
+        log.info("qg: connectivity repair %.1fs", time.time() - t0)
 
         rabitq_space = rabitq_space.update_neighbors(nbrs, chunk=self.chunk)
         rng = np.random.default_rng(self.seed + 17)

@@ -109,3 +109,38 @@ def test_uint8_data_type_native_storage():
     assert str(idx._engine.space.data.dtype) == "uint8"
     with pytest.raises(ValueError, match="cos"):
         IndexParams(data_type="int8", metric="cos")
+
+
+def test_graph_connectivity_all_types():
+    """Every built graph reaches (almost) every node from its entry points
+    (reference tests/index/graph_test.cpp: in/out edge invariants +
+    reachability; repair threshold 2e-4 from nsg._attach_unreached)."""
+    import numpy as np
+
+    from alayalite_tpu import Index, IndexParams
+    from alayalite_tpu.utils.datasets import random_dataset
+
+    ds = random_dataset(n=1500, dim=16, n_queries=4, seed=21)
+    for cfg in (dict(index_type="hnsw"), dict(index_type="nsg"),
+                dict(index_type="hnsw", quantization_type="bsq8")):
+        idx = Index("c", IndexParams(capacity=1500, max_nbrs=12,
+                                     ef_construction=48, **cfg))
+        idx.fit(ds.data)
+        g = idx._engine.graph
+        nbrs = np.asarray(g.nbrs)[:1500]
+        eps = np.asarray(g.eps)
+        # out-degree: every node has at least one edge
+        assert (nbrs >= 0).any(axis=1).all(), cfg
+        # no self-loops
+        assert not (nbrs == np.arange(1500)[:, None]).any(), cfg
+        # BFS reachability from entry points
+        reached = np.zeros(1500, bool)
+        frontier = eps[eps >= 0]
+        reached[frontier] = True
+        while frontier.size:
+            nxt = np.unique(nbrs[frontier].ravel())
+            nxt = nxt[nxt >= 0]
+            nxt = nxt[~reached[nxt]]
+            reached[nxt] = True
+            frontier = nxt
+        assert (~reached).sum() <= 2, (cfg, int((~reached).sum()))

@@ -144,3 +144,20 @@ def test_graph_connectivity_all_types():
             reached[nxt] = True
             frontier = nxt
         assert (~reached).sum() <= 2, (cfg, int((~reached).sum()))
+
+
+def test_uint8_data_with_bsq8_graph():
+    """SIFT's u8 data through the flagship block-quantized graph path."""
+    import numpy as np
+
+    from alayalite_tpu import Index, IndexParams
+
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, size=(2000, 32)).astype(np.uint8)
+    idx = Index("u8b", IndexParams(index_type="hnsw", capacity=2000,
+                                   max_nbrs=16, ef_construction=64,
+                                   data_type="uint8",
+                                   quantization_type="bsq8"))
+    idx.fit(data)
+    ids = idx.batch_search(data[:32].astype(np.float32), 5, ef_search=48)
+    assert float((ids[:, 0] == np.arange(32)).mean()) >= 0.95

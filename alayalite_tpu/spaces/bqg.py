@@ -36,7 +36,10 @@ class BQGSpace:
     dmin: jax.Array        # [D] f32
     scale: jax.Array       # [D] f32
     nbr_ids: jax.Array     # [C, R] i32 (-1 pad)
-    nbr_codes: jax.Array   # [C, R, D] u8 — neighbors' SQ8 codes, blocked
+    nbr_codes: jax.Array   # [C, R, Dp] u8 — neighbors' SQ8 codes, blocked;
+                           # Dp = D padded to a lane multiple (128) with the
+                           # center byte 128 so pads contribute 0 to the dot
+                           # and every dim rides the fused decode+dot kernel
     nbr_xsq: jax.Array     # [C, R] f32 — |x̂|² per neighbor
     valid: jax.Array       # [C] bool
     num: jax.Array         # scalar i32
@@ -55,6 +58,10 @@ class BQGSpace:
     def degree(self) -> int:
         return self.nbr_ids.shape[1]
 
+    @property
+    def code_dim(self) -> int:
+        return self.nbr_codes.shape[2]
+
     # ---- construction ----
     @staticmethod
     def create(capacity: int, dim: int, metric: str = "l2",
@@ -62,13 +69,15 @@ class BQGSpace:
         metric = metric.lower()
         if metric not in ("l2", "cos"):
             raise ValueError("bqg supports l2/cos metrics")
+        cdim = -(-dim // 128) * 128
         return BQGSpace(
             data=jnp.zeros((capacity, dim), dtype=jnp.float32),
             sq_norms=jnp.zeros((capacity,), dtype=jnp.float32),
             dmin=jnp.zeros((dim,), dtype=jnp.float32),
             scale=jnp.ones((dim,), dtype=jnp.float32),
             nbr_ids=jnp.full((capacity, degree), -1, dtype=jnp.int32),
-            nbr_codes=jnp.zeros((capacity, degree, dim), dtype=jnp.uint8),
+            nbr_codes=jnp.full((capacity, degree, cdim), 128,
+                               dtype=jnp.uint8),
             nbr_xsq=jnp.zeros((capacity, degree), dtype=jnp.float32),
             valid=jnp.zeros((capacity,), dtype=bool),
             num=jnp.zeros((), dtype=jnp.int32),
@@ -171,6 +180,9 @@ class BQGSpace:
         Codes are centered at 128 in estimate_for (bf16 cancellation — see
         SQSpace.gather_dists), so the 128·s offset folds in here."""
         qs = (q * self.scale[None, :]).astype(jnp.bfloat16)
+        pad = self.code_dim - self.dim
+        if pad:
+            qs = jnp.pad(qs, ((0, 0), (0, pad)))  # pads face code byte 128
         shift = self.dmin[None, :] + 128.0 * self.scale[None, :]
         qconst = (jnp.sum(q * q, axis=-1)
                   - 2.0 * jnp.sum(q * shift, axis=-1))
@@ -180,7 +192,7 @@ class BQGSpace:
         """Estimated d² to the R neighbors of popped nodes u [B]."""
         q, qs, qconst = ctx
         safe = jnp.clip(u, 0, self.capacity - 1)
-        codes = self.nbr_codes[safe]                       # [B, R, D] u8
+        codes = self.nbr_codes[safe]                       # [B, R, Dp] u8
         cf = (codes.astype(jnp.int16) - 128).astype(jnp.bfloat16)
         dot = jnp.einsum("brd,bd->br", cf, qs,
                          preferred_element_type=jnp.float32)
@@ -198,7 +210,8 @@ class BQGSpace:
         q, qs, qconst = ctx
         B, M = u.shape
         safe = jnp.clip(u, 0, self.capacity - 1)
-        codes = self.nbr_codes[safe].reshape(B, M * self.degree, self.dim)
+        codes = self.nbr_codes[safe].reshape(B, M * self.degree,
+                                             self.code_dim)
         dot = block_diagdot(codes, qs)
         est = (qconst[:, None] - 2.0 * dot
                + self.nbr_xsq[safe].reshape(B, M * self.degree))
@@ -265,6 +278,9 @@ def _encode_block_into(codes_buf, xsq_buf, data: jax.Array, dmin: jax.Array,
     c = jnp.clip(jnp.round((vecs - dmin) / scale), 0, 255)
     xhat = c * scale + dmin
     xsq = jnp.where(ok, jnp.sum(xhat * xhat, axis=-1), jnp.inf)
+    pad = codes_buf.shape[2] - c.shape[2]
+    if pad:
+        c = jnp.pad(c, ((0, 0), (0, 0), (0, pad)), constant_values=128)
     codes_buf = jax.lax.dynamic_update_slice_in_dim(
         codes_buf, c.astype(jnp.uint8), lo, axis=0)
     xsq_buf = jax.lax.dynamic_update_slice_in_dim(xsq_buf, xsq, lo, axis=0)
@@ -274,10 +290,14 @@ def _encode_block_into(codes_buf, xsq_buf, data: jax.Array, dmin: jax.Array,
 @jax.jit
 def _encode_block(data: jax.Array, dmin: jax.Array, scale: jax.Array,
                   nbrs: jax.Array):
-    """SQ8-encode neighbor vectors: [C, R] ids → (codes u8, |x̂|²)."""
+    """SQ8-encode neighbor vectors: [C, R] ids → (codes u8 [C, R, Dp],
+    |x̂|²); codes padded to the lane multiple with the center byte."""
     ok = nbrs >= 0
     vecs = data[jnp.where(ok, nbrs, 0)]                    # [C, R, D]
     c = jnp.clip(jnp.round((vecs - dmin) / scale), 0, 255)
     xhat = c * scale + dmin
     xsq = jnp.where(ok, jnp.sum(xhat * xhat, axis=-1), jnp.inf)
+    pad = -(-c.shape[2] // 128) * 128 - c.shape[2]
+    if pad:
+        c = jnp.pad(c, ((0, 0), (0, 0), (0, pad)), constant_values=128)
     return c.astype(jnp.uint8), xsq

@@ -93,10 +93,12 @@ def run_cfg(ef, M, iters, scan):
     return rec, NQ / per
 
 
-for ef, M, iters, scan in [
-    (24, 8, 8, False), (24, 8, 8, True), (24, 8, 6, True), (24, 8, 5, True),
-    (24, 8, 4, True), (16, 8, 5, True), (24, 12, 4, True), (32, 8, 6, True),
-]:
+import json as _json
+CFGS = _json.loads(os.environ.get(
+    "PS_CFGS",
+    '[[24,8,8,0],[24,8,8,1],[24,8,6,1],[24,8,5,1],'
+    '[24,8,4,1],[16,8,5,1],[24,12,4,1],[32,8,6,1]]'))
+for ef, M, iters, scan in CFGS:
     rec, qps = run_cfg(ef, M, iters, scan)
     print(f"ef={ef:3d} M={M:2d} it={iters} scan={int(scan)} "
           f"recall={rec:.4f} chipQPS={qps:,.0f}", flush=True)

@@ -1,4 +1,5 @@
 from .sharded import (
+    ShardedBlockIndex,
     ShardedFlatIndex,
     ShardedGraphIndex,
     db_sharded_flat_search,
@@ -9,6 +10,7 @@ from .sharded import (
 )
 
 __all__ = [
+    "ShardedBlockIndex",
     "ShardedFlatIndex",
     "ShardedGraphIndex",
     "db_sharded_flat_search",

@@ -287,3 +287,137 @@ class ShardedFlatIndex:
         d, i = db_sharded_flat_search(self.mesh, self.space, q, topk,
                                       bf16=self.bf16)
         return np.asarray(i), np.asarray(d)
+
+
+def db_sharded_block_search(mesh: Mesh, leaves, metric: str,
+                            queries: jax.Array, k: int, ef: int,
+                            n_expand: int = 8):
+    """Block (bsq8) graph search over a row-partitioned database — the
+    flagship index type, scaled past one chip's HBM.
+
+    Each "db" shard holds an independent QG subindex (packed neighbor
+    blocks over its own rows); every shard runs the full block beam for all
+    queries on its slice, exact-reranks locally (f32 distances, so they
+    merge comparably across shards), and ONE all_gather over ICI merges
+    the per-shard top-k. Queries shard over "dp".
+
+    leaves: BQGSpace arrays row-sharded over "db" — (data [C,D],
+    sq_norms [C], dmin [ndb,D], scale [ndb,D], nbr_ids [C,R],
+    nbr_codes [C,R,Dp], nbr_xsq [C,R], valid [C]) — plus eps [ndb,E]
+    per-shard entry points (local ids).
+    """
+    from ..index.search import block_beam_search
+    from ..spaces.bqg import BQGSpace
+
+    data, sq, dmin, scale, nids, ncodes, nxsq, valid, eps = leaves
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("dp", None), P("db", None), P("db"), P("db", None),
+                  P("db", None), P("db", None), P("db", None, None),
+                  P("db", None), P("db"), P("db", None)),
+        out_specs=(P("dp", None), P("dp", None)),
+        check_vma=False,
+    )
+    def _search(q, data, sq, dmin, scale, nids, ncodes, nxsq, valid, eps):
+        shard_rows = data.shape[0]
+        space = BQGSpace(
+            data=data, sq_norms=sq, dmin=dmin[0], scale=scale[0],
+            nbr_ids=nids, nbr_codes=ncodes, nbr_xsq=nxsq, valid=valid,
+            num=jnp.asarray(shard_rows, jnp.int32),
+            metric="l2", user_metric=metric)
+        qj = space.prep_query(q)
+        seeds = jnp.broadcast_to(eps.reshape(1, -1), (q.shape[0], eps.size))
+        d, i = block_beam_search(space, seeds, qj, k=k, ef=ef,
+                                 valid=valid, n_expand=n_expand)
+        i = jnp.where(i >= 0, i + jax.lax.axis_index("db") * shard_rows, -1)
+        dd = jax.lax.all_gather(d, "db", axis=1).reshape(q.shape[0], -1)
+        ii = jax.lax.all_gather(i, "db", axis=1).reshape(q.shape[0], -1)
+        nd, sel = jax.lax.top_k(-dd, k)
+        out_i = jnp.take_along_axis(ii, sel, axis=1)
+        return -nd, jnp.where(jnp.isfinite(-nd), out_i, -1)
+
+    return _search(queries, data, sq, dmin, scale, nids, ncodes, nxsq,
+                   valid, eps)
+
+
+class ShardedBlockIndex:
+    """Multi-chip bsq8 (block-quantized graph) index: the flagship
+    single-chip layout (spaces/bqg.py + index/qg.py), row-partitioned over
+    the mesh's "db" axis with one independent QG subindex per shard.
+
+    Same decomposition as ShardedGraphIndex (no cross-shard edges, so the
+    beam loop has no halo exchange; the only collective is the final top-k
+    merge), applied to the packed-block layout whose per-node payload is
+    what actually fills HBM at scale (~4 KB/node at D=128, R=32).
+    """
+
+    def __init__(self, mesh: Optional[Mesh] = None, metric: str = "l2",
+                 max_nbrs: int = 32, ef_construction: int = 128):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.metric = metric.lower()
+        self.max_nbrs = max_nbrs
+        self.ef_construction = ef_construction
+        self._leaves = None
+
+    def fit(self, vectors: np.ndarray) -> None:
+        from ..index.qg import QGBuilder
+        from ..spaces.bqg import BQGSpace
+        from ..spaces.raw import RawSpace
+
+        v = np.asarray(vectors, dtype=np.float32)
+        n, dim = v.shape
+        ndb = self.mesh.shape["db"]
+        per = -(-n // ndb)
+        cols = {name: [] for name in ("data", "sq", "dmin", "scale", "nids",
+                                      "ncodes", "nxsq", "valid", "eps")}
+        n_eps = 8
+        for s in range(ndb):
+            rows = v[s * per: (s + 1) * per]
+            raw = RawSpace.create(per, dim, metric=self.metric).fit(rows)
+            bqg = BQGSpace.create(per, dim, metric=self.metric,
+                                  degree=self.max_nbrs).fit(rows)
+            g, bqg = QGBuilder(r=self.max_nbrs,
+                               ef=max(self.ef_construction, 64),
+                               seed=s).build_graph(raw, bqg, rows.shape[0])
+            cols["data"].append(np.asarray(bqg.data, dtype=np.float32))
+            cols["sq"].append(np.asarray(bqg.sq_norms))
+            cols["dmin"].append(np.asarray(bqg.dmin)[None])
+            cols["scale"].append(np.asarray(bqg.scale)[None])
+            cols["nids"].append(np.asarray(bqg.nbr_ids))
+            cols["ncodes"].append(np.asarray(bqg.nbr_codes))
+            cols["nxsq"].append(np.asarray(bqg.nbr_xsq))
+            cols["valid"].append(np.asarray(bqg.valid))
+            e = np.zeros(n_eps, dtype=np.int32)
+            eg = np.asarray(g.eps)
+            e[: min(len(eg), n_eps)] = np.clip(eg[:n_eps], 0, per - 1)
+            cols["eps"].append(e[None])
+        put = lambda x, spec: jax.device_put(  # noqa: E731
+            np.concatenate(x), NamedSharding(self.mesh, spec))
+        self._leaves = (
+            put(cols["data"], P("db", None)),
+            put(cols["sq"], P("db")),
+            put(cols["dmin"], P("db", None)),
+            put(cols["scale"], P("db", None)),
+            put(cols["nids"], P("db", None)),
+            put(cols["ncodes"], P("db", None, None)),
+            put(cols["nxsq"], P("db", None)),
+            put(cols["valid"], P("db")),
+            put(cols["eps"], P("db", None)),
+        )
+        self._per = per
+        self._n = n
+
+    def batch_search_with_distance(self, queries: np.ndarray, topk: int,
+                                   ef_search: int = 100):
+        if self._leaves is None:
+            raise RuntimeError("index is not fitted")
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
+        d, i = db_sharded_block_search(self.mesh, self._leaves, self.metric,
+                                       q, k=topk, ef=max(ef_search, topk))
+        return np.asarray(i), np.asarray(d)
+
+    def batch_search(self, queries: np.ndarray, topk: int,
+                     ef_search: int = 100) -> np.ndarray:
+        ids, _ = self.batch_search_with_distance(queries, topk, ef_search)
+        return ids

@@ -108,3 +108,50 @@ def test_db_sharded_graph_index():
     same = np.mean([set(ids[r][ids[r] >= 0]) == set(want_i[r][want_i[r] >= 0])
                     for r in range(64)])
     assert same >= 0.95, f"shard-replay match {same}"
+
+
+def test_sharded_block_index_matches_per_shard_replay():
+    """db-sharded bsq8: the distributed result equals a host-side replay of
+    each shard's subindex search + global merge (exact semantics check for
+    the flagship layout's scale-out path)."""
+    import jax.numpy as jnp
+
+    from alayalite_tpu.index.search import block_beam_search
+    from alayalite_tpu.parallel.sharded import ShardedBlockIndex, make_mesh
+    from alayalite_tpu.spaces.bqg import BQGSpace
+
+    mesh = make_mesh(dp=1)
+    ndb = mesh.shape["db"]
+    rng = np.random.default_rng(5)
+    n, dim, nq, k = 64 * ndb, 16, 8, 5
+    data = rng.normal(size=(n, dim)).astype(np.float32)
+    q = rng.normal(size=(nq, dim)).astype(np.float32)
+
+    idx = ShardedBlockIndex(mesh=mesh, max_nbrs=8, ef_construction=32)
+    idx.fit(data)
+    ids, dists = idx.batch_search_with_distance(q, k, ef_search=16)
+
+    # replay: rebuild each shard locally and merge
+    per = idx._per
+    alld, alli = [], []
+    leaves = [np.asarray(x) for x in idx._leaves]
+    for s in range(ndb):
+        sl = slice(s * per, (s + 1) * per)
+        sp = BQGSpace(
+            data=jnp.asarray(leaves[0][sl]), sq_norms=jnp.asarray(leaves[1][sl]),
+            dmin=jnp.asarray(leaves[2][s]), scale=jnp.asarray(leaves[3][s]),
+            nbr_ids=jnp.asarray(leaves[4][sl]), nbr_codes=jnp.asarray(leaves[5][sl]),
+            nbr_xsq=jnp.asarray(leaves[6][sl]), valid=jnp.asarray(leaves[7][sl]),
+            num=jnp.asarray(per, jnp.int32), metric="l2", user_metric="l2")
+        seeds = jnp.broadcast_to(jnp.asarray(leaves[8][s])[None, :], (nq, 8))
+        d, i = block_beam_search(sp, seeds, sp.prep_query(jnp.asarray(q)),
+                                 k=k, ef=16, valid=sp.valid, n_expand=8)
+        alld.append(np.asarray(d))
+        alli.append(np.where(np.asarray(i) >= 0, np.asarray(i) + s * per, -1))
+    dd = np.concatenate(alld, axis=1)
+    ii = np.concatenate(alli, axis=1)
+    sel = np.argsort(dd, axis=1)[:, :k]
+    want_i = np.take_along_axis(ii, sel, axis=1)
+    want_d = np.take_along_axis(dd, sel, axis=1)
+    np.testing.assert_array_equal(ids, want_i)
+    np.testing.assert_allclose(dists, want_d, rtol=1e-5, atol=1e-5)

@@ -88,11 +88,14 @@ def _make_quant_space(params: IndexParams, capacity: int, dim: int):
         from ..spaces.sq import SQSpace
 
         return SQSpace.create(capacity, dim, bits=4, metric=params.metric.value)
-    if params.quantization_type is QuantizationType.RABITQ:
+    if params.quantization_type in (QuantizationType.RABITQ,
+                                    QuantizationType.RABITQ2):
         from ..spaces.rabitq import RaBitQSpace
 
+        bits = 2 if params.quantization_type is QuantizationType.RABITQ2 else 1
         return RaBitQSpace.create(capacity, dim, metric=params.metric.value,
-                                  rotator=getattr(params, "rotator", "matrix"))
+                                  rotator=getattr(params, "rotator", "matrix"),
+                                  bits=bits)
     if params.quantization_type is QuantizationType.BSQ8:
         from ..spaces.bqg import BQGSpace
 
@@ -134,14 +137,13 @@ class IndexEngine:
         q = _make_quant_space(self.params, capacity, dim)
         self.search_space = q.fit(v) if q is not None else self.space
 
-        if self.params.quantization_type in (QuantizationType.RABITQ,
-                                             QuantizationType.BSQ8):
+        if self.params.quantization_type.is_block:
             # block quantizations imply the QG-style graph: adjacency +
             # quantized neighbor blocks built together (index.hpp:188-195)
             from .qg import QGBuilder
 
-            r = (32 if self.params.quantization_type is
-                 QuantizationType.RABITQ else self.params.max_nbrs)
+            r = (32 if self.params.quantization_type is not
+                 QuantizationType.BSQ8 else self.params.max_nbrs)
             builder = QGBuilder(r=r,
                                 ef=max(self.params.ef_construction, 128))
             self.graph, self.search_space = builder.build_graph(
@@ -195,8 +197,7 @@ class IndexEngine:
         qj = self.search_space.prep_query(jnp.asarray(q))
         ef = max(int(ef), int(topk))
         m = self.params.beam_expand
-        if self.params.quantization_type in (QuantizationType.RABITQ,
-                                             QuantizationType.BSQ8):
+        if self.params.quantization_type.is_block:
             from .search import block_search_device
 
             d, i = block_search_device(self.search_space, self.graph.eps, qj,
@@ -297,8 +298,7 @@ class IndexEngine:
         """Batched online insert (graph_update_job.hpp:66-89). Returns new ids
         (-1 where capacity was exhausted — caller raises, index.py:117-123)."""
         self._require_fitted()
-        if self.params.quantization_type in (QuantizationType.RABITQ,
-                                             QuantizationType.BSQ8):
+        if self.params.quantization_type.is_block:
             return self._insert_block(vectors, ef)
         v = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
         nq = v.shape[0]
@@ -457,8 +457,7 @@ class IndexEngine:
         nbrs = np.asarray(self.graph.nbrs)
         cand = rewire_candidates(nbrs, ids, removed)
         cd = _gather_dists_chunked(self.space, ids, cand, 2048)
-        block = self.params.quantization_type in (QuantizationType.RABITQ,
-                                                  QuantizationType.BSQ8)
+        block = self.params.quantization_type.is_block
         r = self.search_space.degree if block else nbrs.shape[1]
         rows = np.asarray(_topr_dedup(jnp.asarray(cd), jnp.asarray(cand), r))
         if block:

@@ -48,9 +48,17 @@ class QuantizationType(str, enum.Enum):
     SQ8 = "sq8"
     SQ4 = "sq4"
     RABITQ = "rabitq"
+    RABITQ2 = "rabitq2"  # 2-bit extension (beyond the reference's 1-bit)
     # TPU-native extension: block-SQ8 quantized graph (spaces/bqg.py) —
     # RaBitQ's packed-neighbor layout with 8-bit codes; the throughput config
     BSQ8 = "bsq8"
+
+    @property
+    def is_block(self) -> bool:
+        """Block layouts (packed per-node neighbor payloads) that imply the
+        QG-style graph + block beam search."""
+        return self in (QuantizationType.RABITQ, QuantizationType.RABITQ2,
+                        QuantizationType.BSQ8)
 
     @classmethod
     def parse(cls, v: "QuantizationType | str | None") -> "QuantizationType":

@@ -113,6 +113,10 @@ class RaBitQSpace:
     num: jax.Array         # scalar i32
     metric: str = flax.struct.field(pytree_node=False, default="l2")
     user_metric: str = flax.struct.field(pytree_node=False, default="l2")
+    # code bits per dim: 1 = reference RaBitQ; 2 = extended codes (two
+    # bit-planes, y = c - 1.5) — the same estimator identity with a finer
+    # residual direction, halving the estimate noise for 2x the code bytes
+    bits: int = flax.struct.field(pytree_node=False, default=1)
 
     @property
     def capacity(self) -> int:
@@ -125,7 +129,8 @@ class RaBitQSpace:
     # ---- construction ----
     @staticmethod
     def create(capacity: int, dim: int, metric: str = "l2",
-               seed: int = 0, rotator: str = "matrix") -> "RaBitQSpace":
+               seed: int = 0, rotator: str = "matrix",
+               bits: int = 1) -> "RaBitQSpace":
         metric = metric.lower()
         if metric not in ("l2", "cos"):
             # the estimator is an L2 construction; cos := normalize-then-L2
@@ -137,18 +142,22 @@ class RaBitQSpace:
             raise ValueError(f"unknown rotator {rotator!r}")
         rot = (make_fht_kac_rotation(dim, seed) if rotator == "fht_kac"
                else make_rotation(dim, seed))
+        if bits not in (1, 2):
+            raise ValueError("rabitq bits must be 1 or 2")
         return RaBitQSpace(
             data=jnp.zeros((capacity, dim), dtype=jnp.float32),
             sq_norms=jnp.zeros((capacity,), dtype=jnp.float32),
             rot=jnp.asarray(rot),
             nbr_ids=jnp.full((capacity, DEGREE), -1, dtype=jnp.int32),
-            nbr_bits=jnp.zeros((capacity, DEGREE, dim // 8), dtype=jnp.uint8),
+            nbr_bits=jnp.zeros((capacity, DEGREE, bits * dim // 8),
+                               dtype=jnp.uint8),
             f_add=jnp.zeros((capacity, DEGREE), dtype=jnp.float32),
             f_rescale=jnp.zeros((capacity, DEGREE), dtype=jnp.float32),
             valid=jnp.zeros((capacity,), dtype=bool),
             num=jnp.zeros((), dtype=jnp.int32),
             metric="l2",
             user_metric=metric,
+            bits=bits,
         )
 
     def prep_query(self, q: jax.Array) -> jax.Array:
@@ -191,7 +200,7 @@ class RaBitQSpace:
         for lo in starts:
             bits_buf, fa_buf, fr_buf = _quantize_block_into(
                 bits_buf, fa_buf, fr_buf, self.data, self.rot, nbrs_dev,
-                jnp.asarray(lo, jnp.int32), chunk=c)
+                jnp.asarray(lo, jnp.int32), chunk=c, bits=self.bits)
         return self.replace(nbr_ids=nbrs_dev, nbr_bits=bits_buf,
                             f_add=fa_buf, f_rescale=fr_buf)
 
@@ -232,7 +241,8 @@ class RaBitQSpace:
             rows = jnp.pad(rows, ((0, 0), (0, DEGREE - rows.shape[1])),
                            constant_values=-1)
         rows = rows[:, :DEGREE]
-        bits, fa, fr = _quantize_block(self.data, self.rot, ids, rows)
+        bits, fa, fr = _quantize_block(self.data, self.rot, ids, rows,
+                                       bits=self.bits)
         return self.replace(
             nbr_ids=self.nbr_ids.at[ids].set(rows),
             nbr_bits=self.nbr_bits.at[ids].set(_pack_bits_jnp(bits)),
@@ -263,11 +273,23 @@ class RaBitQSpace:
         (rabitq_space.hpp:280-366) as one MXU contraction.
         """
         safe = jnp.clip(u, 0, self.capacity - 1)
-        bits = _unpack_bits_jnp(self.nbr_bits[safe], self.dim)   # [B, 32, D]
-        dot_b = jnp.einsum("bkd,bd->bk", bits.astype(jnp.bfloat16),
-                           qrot.astype(jnp.bfloat16),
-                           preferred_element_type=jnp.float32)
-        proj = (2.0 * dot_b - qsum[:, None]) / jnp.sqrt(float(self.dim))
+        packed = self.nbr_bits[safe]
+        qb = qrot.astype(jnp.bfloat16)
+        if self.bits == 1:
+            b = _unpack_bits_jnp(packed, self.dim)               # [B, 32, D]
+            dot_b = jnp.einsum("bkd,bd->bk", b.astype(jnp.bfloat16), qb,
+                               preferred_element_type=jnp.float32)
+            proj = (2.0 * dot_b - qsum[:, None]) / jnp.sqrt(float(self.dim))
+        else:
+            # 2-bit: y = c - 1.5 with c = plane0 + 2*plane1; proj = <qrot, y>
+            db = self.dim // 8
+            p0 = _unpack_bits_jnp(packed[..., :db], self.dim)
+            p1 = _unpack_bits_jnp(packed[..., db:], self.dim)
+            d0 = jnp.einsum("bkd,bd->bk", p0.astype(jnp.bfloat16), qb,
+                            preferred_element_type=jnp.float32)
+            d1 = jnp.einsum("bkd,bd->bk", p1.astype(jnp.bfloat16), qb,
+                            preferred_element_type=jnp.float32)
+            proj = d0 + 2.0 * d1 - 1.5 * qsum[:, None]
         est = d_center[:, None] + self.f_add[safe] + self.f_rescale[safe] * proj
         return jnp.maximum(est, 0.0), self.nbr_ids[safe]
 
@@ -293,13 +315,15 @@ class RaBitQSpace:
             "valid": np.asarray(self.valid),
             "num": int(self.num),
             "metric": self.user_metric,
+            "bits": self.bits,
         }
 
     @staticmethod
     def load_arrays(d: dict) -> "RaBitQSpace":
         data = np.asarray(d["data"], dtype=np.float32)
         sp = RaBitQSpace.create(data.shape[0], data.shape[1],
-                                metric=str(d["metric"]))
+                                metric=str(d["metric"]),
+                                bits=int(d.get("bits", 1)))
         return sp.replace(
             data=jnp.asarray(data),
             sq_norms=jnp.asarray((data * data).sum(-1), dtype=jnp.float32),
@@ -323,27 +347,34 @@ def _pack_bits_jnp(bits: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2),
-                   static_argnames=("chunk",))
+                   static_argnames=("chunk", "bits"))
 def _quantize_block_into(bits_buf, fa_buf, fr_buf, data, rot, nbrs_dev, lo,
-                         chunk: int):
+                         chunk: int, bits: int = 1):
     """Quantize one chunk of neighbor blocks into donated device buffers."""
     us = lo + jnp.arange(chunk, dtype=jnp.int32)
     nbrs = jax.lax.dynamic_slice_in_dim(nbrs_dev, lo, chunk)
-    bits, fa, fr = _quantize_block(data, rot, us, nbrs)
-    packed = _pack_bits_jnp(bits)
+    code, fa, fr = _quantize_block(data, rot, us, nbrs, bits=bits)
+    packed = _pack_bits_jnp(code)
     bits_buf = jax.lax.dynamic_update_slice_in_dim(bits_buf, packed, lo, 0)
     fa_buf = jax.lax.dynamic_update_slice_in_dim(fa_buf, fa, lo, 0)
     fr_buf = jax.lax.dynamic_update_slice_in_dim(fr_buf, fr, lo, 0)
     return bits_buf, fa_buf, fr_buf
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("bits",))
 def _quantize_block(data: jax.Array, rot: jax.Array, us: jax.Array,
-                    nbrs: jax.Array):
+                    nbrs: jax.Array, bits: int = 1):
     """Quantize neighbor blocks for nodes ``us`` [C] with neighbors [C, 32].
 
-    Returns (bits [C, 32, D] bool, f_add [C, 32], f_rescale [C, 32]).
+    Returns (code planes [C, 32, bits*D] bool — plane p at [..., p*D:(p+1)*D],
+    f_add [C, 32], f_rescale [C, 32]).
     Factor math per the module docstring (reference: quant/rabitq.hpp:64-97).
+    The estimator identity est = d_center + f_add + f_rescale * <qrot, y>
+    holds for ANY code direction y (its normalization cancels into the
+    factors); bits=1 uses y = 2b - 1 (the reference code), bits=2 uses
+    y = c - 1.5 with c a 4-level uniform quantization of the rotated
+    residual (step 0.9957 sigma — the Lloyd-optimal uniform 2-bit grid for
+    a Gaussian, which a rotated residual is to good approximation).
     """
     d = data.shape[1]
     center = data[us]                                   # [C, D]
@@ -352,19 +383,38 @@ def _quantize_block(data: jax.Array, rot: jax.Array, us: jax.Array,
     r = vecs - center[:, None, :]                       # residuals
     rrot = jnp.einsum("ckd,ed->cke", r, rot,
                       preferred_element_type=jnp.float32)
-    bits = rrot > 0
-    xbar = (2.0 * bits.astype(jnp.float32) - 1.0) / jnp.sqrt(float(d))
     norm_r = jnp.sqrt(jnp.sum(r * r, axis=-1))          # [C, 32]
-    rhat_dot_x = jnp.sum(rrot * xbar, axis=-1) / jnp.maximum(norm_r, 1e-30)
-    # degenerate fit (r == 0 or orthogonal): estimator falls back to d²(q,u)
-    good = ok & (rhat_dot_x > 1e-6)
-    f_rescale = jnp.where(good, -2.0 * norm_r / jnp.where(good, rhat_dot_x, 1.0),
+    if bits == 1:
+        code = (rrot > 0)
+        xbar = (2.0 * code.astype(jnp.float32) - 1.0) / jnp.sqrt(float(d))
+        rhat_dot_x = jnp.sum(rrot * xbar, axis=-1) / jnp.maximum(norm_r,
+                                                                 1e-30)
+        # degenerate fit (r == 0 or orthogonal): fall back to d²(q,u)
+        good = ok & (rhat_dot_x > 1e-6)
+        f_rescale = jnp.where(
+            good, -2.0 * norm_r / jnp.where(good, rhat_dot_x, 1.0), 0.0)
+        crot = jnp.einsum("cd,ed->ce", center, rot,
+                          preferred_element_type=jnp.float32)  # P·u
+        c_dot_x = jnp.einsum("ckd,cd->ck", xbar, crot)
+        f_add = jnp.where(good, jnp.sum(r * r, axis=-1) - f_rescale * c_dot_x,
                           0.0)
+        return code, f_add, f_rescale
+    # 2-bit planes
+    sigma = norm_r[:, :, None] / jnp.sqrt(float(d))
+    step = 0.9957 * jnp.maximum(sigma, 1e-30)
+    c = jnp.clip(jnp.round(rrot / step + 1.5), 0, 3)
+    y = c - 1.5                                          # [C, 32, D]
+    t = jnp.sum(rrot * y, axis=-1)
+    good = ok & (t > 1e-12)
+    rsq = jnp.sum(r * r, axis=-1)
+    f_rescale = jnp.where(good, -2.0 * rsq / jnp.where(good, t, 1.0), 0.0)
     crot = jnp.einsum("cd,ed->ce", center, rot,
-                      preferred_element_type=jnp.float32)   # [C, D] = P·u
-    c_dot_x = jnp.einsum("ckd,cd->ck", xbar, crot)
-    f_add = jnp.where(good, jnp.sum(r * r, axis=-1) - f_rescale * c_dot_x, 0.0)
-    return bits, f_add, f_rescale
+                      preferred_element_type=jnp.float32)
+    c_dot_y = jnp.einsum("ckd,cd->ck", y, crot)
+    f_add = jnp.where(good, rsq - f_rescale * c_dot_y, 0.0)
+    ci = c.astype(jnp.int32)
+    planes = jnp.concatenate([(ci & 1) > 0, (ci >> 1) > 0], axis=-1)
+    return planes, f_add, f_rescale
 
 
 # ---- generic block-search protocol (shared with BQGSpace) ----

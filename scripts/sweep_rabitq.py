@@ -31,7 +31,8 @@ from alayalite_tpu.utils.datasets import random_dataset  # noqa: E402
 from alayalite_tpu.utils.evaluate import calc_gt, calc_recall  # noqa: E402
 
 N, DIM, NQ, TOPK = 100_000, 128, 8192, 10
-CACHE = "/tmp/alaya_rabitq_idx"
+QUANT = os.environ.get("SR_QUANT", "rabitq")
+CACHE = f"/tmp/alaya_{QUANT}_idx"
 
 ds = random_dataset(n=N, dim=DIM, n_queries=NQ, seed=42, clusters=N // 2000)
 
@@ -42,7 +43,7 @@ if os.path.exists(os.path.join(CACHE, "schema.json")):
 else:
     idx = Index("r", IndexParams(index_type="hnsw", capacity=N, max_nbrs=32,
                                  ef_construction=200,
-                                 quantization_type="rabitq"))
+                                 quantization_type=QUANT))
     t0 = time.time()
     idx.fit(ds.data)
     print(f"build {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
@@ -69,8 +70,8 @@ for ef in [48, 96, 160, 240, 320, 400]:
         break
 
 os.makedirs("results", exist_ok=True)
-with open("results/sweep_rabitq_100k.json", "w") as f:
-    json.dump({"n": N, "dim": DIM, "nq": NQ, "quant": "rabitq-1bit",
+with open(f"results/sweep_{QUANT}_100k.json", "w") as f:
+    json.dump({"n": N, "dim": DIM, "nq": NQ, "quant": QUANT,
                "rows": rows}, f, indent=1)
 ok = [r for r in rows if r["recall"] >= 0.95]
 print("first >=0.95:", ok[0] if ok else None, flush=True)

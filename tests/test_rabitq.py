@@ -110,3 +110,50 @@ def test_bsq8_save_load_roundtrip(tmp_path):
     idx2 = Index.load(str(tmp_path), "b")
     got = idx2.batch_search(ds.queries, 5, ef_search=64)
     np.testing.assert_array_equal(want, got)
+
+
+def test_rabitq2_estimator_beats_1bit():
+    """The 2-bit extension's estimates must be strictly more accurate than
+    1-bit on the same blocks (finer residual direction, same identity)."""
+    import jax.numpy as jnp
+
+    from alayalite_tpu.spaces.rabitq import RaBitQSpace
+
+    rng = np.random.default_rng(7)
+    n, dim = 400, 32
+    data = rng.normal(size=(n, dim)).astype(np.float32)
+    nbrs = rng.integers(0, n, size=(n, 32)).astype(np.int32)
+    q = rng.normal(size=(16, dim)).astype(np.float32)
+    errs = {}
+    for bits in (1, 2):
+        sp = RaBitQSpace.create(n, dim, bits=bits).fit(data)
+        sp = sp.update_neighbors(nbrs)
+        ctx = sp.query_ctx(jnp.asarray(q))
+        u = jnp.asarray(rng.integers(0, n, size=(16,)).astype(np.int32))
+        est, ids = sp.estimate_for(ctx, u)
+        est, ids = np.asarray(est), np.asarray(ids)
+        true = ((q[:, None, :] - data[ids]) ** 2).sum(-1)
+        errs[bits] = float(np.mean(np.abs(est - true)))
+    assert errs[2] < 0.6 * errs[1], errs
+
+
+def test_rabitq2_index_end_to_end(tmp_path):
+    from alayalite_tpu import Index, IndexParams
+    from alayalite_tpu.utils.datasets import random_dataset
+    from alayalite_tpu.utils.evaluate import calc_gt, calc_recall
+
+    ds = random_dataset(n=1000, dim=32, n_queries=32, seed=4)
+    idx = Index("r2", IndexParams(index_type="hnsw", capacity=1000,
+                                  quantization_type="rabitq2",
+                                  ef_construction=64))
+    idx.fit(ds.data)
+    gt = calc_gt(ds.data, ds.queries, 10)
+    ids = idx.batch_search(ds.queries, 10, ef_search=100)
+    rec = calc_recall(ids, gt)
+    assert rec >= 0.95, f"rabitq2 recall {rec}"
+    # save/load round trip preserves bits and results
+    idx.save(str(tmp_path / "r2"))
+    idx2 = Index.load(str(tmp_path), "r2")
+    assert idx2._engine.search_space.bits == 2
+    ids2 = idx2.batch_search(ds.queries, 10, ef_search=100)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids2))

@@ -74,9 +74,19 @@ class QGBuilder:
                                    reprune_with_reverse_dev,
                                    reverse_edges_dev, search_pool_dev)
 
+        import os
+
+        def sync(x):
+            # opt-in per-phase sync for build profiling (device phases are
+            # dispatched async; wall-clock otherwise lands on the first
+            # blocking download)
+            if os.environ.get("ALAYA_BUILD_SYNC") == "1":
+                np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:1]
+
         knn_d, knn_i = build_knn_graph(raw_space, n, self.knn_k,
                                        max_iters=self.nnd_iters,
                                        seed=self.seed, as_numpy=False)
+        sync(knn_i)
         log.info("qg: knn graph %.1fs", time.time() - t0)
         ep = find_medoid(raw_space, n)
         pool_d, pool_i = search_pool_dev(
@@ -84,16 +94,22 @@ class QGBuilder:
             chunk=self.chunk, seed=self.seed, max_iters=self.pool_iters)
         cand_i = jnp.concatenate([pool_i, knn_i], axis=1)
         cand_d = jnp.concatenate([pool_d, knn_d], axis=1)
+        sync(cand_i)
         log.info("qg: candidate pools %.1fs", time.time() - t0)
 
         nbrs_dev = prune_all_dev(raw_space, cand_d, cand_i, r=self.r,
                                  chunk=self.chunk)
+        sync(nbrs_dev)
+        log.info("qg: prune %.1fs", time.time() - t0)
         rev = reverse_edges_dev(nbrs_dev, jax.random.PRNGKey(self.seed + 3),
                                 width=2 * self.r)
         nbrs_dev = reprune_with_reverse_dev(raw_space, nbrs_dev, rev,
                                             r=self.r, chunk=self.chunk)
+        sync(nbrs_dev)
+        log.info("qg: reverse+reprune %.1fs", time.time() - t0)
         nbrs_dev = fill_degree_dev(nbrs_dev, cand_d, cand_i, r=self.r,
                                    chunk=self.chunk)
+        sync(nbrs_dev)
         log.info("qg: prune+reverse+fill %.1fs", time.time() - t0)
 
         nbrs = np.array(nbrs_dev)  # blocks on all queued device phases too

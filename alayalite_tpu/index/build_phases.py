@@ -50,14 +50,18 @@ def _write2(buf_d, buf_i, d, i, lo, chunk: int):
 
 def search_pool_dev(space, nbrs_dev: jax.Array, eps: np.ndarray, ef: int,
                     n: int, chunk: int = 4096, n_rand_seeds: int = 16,
-                    seed: int = 0, max_iters: int = 0
+                    seed: int = 0, max_iters: int = 0, seed_sample=None
                     ) -> Tuple[jax.Array, jax.Array]:
     """Beam-search pool for each of the first n nodes' own vectors.
     Returns device (pool_d [n, ef], pool_i [n, ef]).
 
     ``max_iters`` caps the hop count (0 = beam_search auto, ef/8+4 hops at
-    ef=200 — build pools saturate much earlier since every node starts
-    from its own kNN row's neighborhood via the random seeds)."""
+    ef=200). ``seed_sample`` = (ids, vecs bf16, sq_norms) enables per-node
+    seed selection via one MXU scan (search.scan_seeds) — each node's beam
+    starts 2-4 hops closer, so a tight ``max_iters`` keeps pool quality
+    (the 1M pools phase is ~47% of the whole QG build at 29 auto hops)."""
+    from .search import scan_seeds
+
     rng = np.random.default_rng(seed)
     eps = np.asarray(eps, dtype=np.int32)
     pool_d = jnp.zeros((n, ef), dtype=jnp.float32)
@@ -70,7 +74,11 @@ def search_pool_dev(space, nbrs_dev: jax.Array, eps: np.ndarray, ef: int,
         seeds_np = np.concatenate(
             [np.broadcast_to(eps[None, :], (chunk, eps.shape[0])), rand],
             axis=1).astype(np.int32)
-        d, i = beam_search(space, nbrs_dev, jnp.asarray(seeds_np), qj,
+        seeds = jnp.asarray(seeds_np)
+        if seed_sample is not None:
+            seeds = jnp.concatenate(
+                [scan_seeds(qj, *seed_sample), seeds], axis=1)
+        d, i = beam_search(space, nbrs_dev, seeds, qj,
                            k=ef, ef=ef, n_expand=8, max_iters=max_iters)
         pool_d, pool_i = _write2(pool_d, pool_i, d, i,
                                  jnp.asarray(lo, jnp.int32), chunk=chunk)

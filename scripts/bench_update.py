@@ -1,0 +1,56 @@
+"""Steady-state online-update throughput: insert/remove rates on a live
+bsq8 index at 100k scale (the update-path analog of bench.py's search
+numbers; reference anchor: tests/executor/update_test.cpp churn flow).
+
+Run (TPU): python scripts/bench_update.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from alayalite_tpu.utils.platforms import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
+from alayalite_tpu import Index, IndexParams  # noqa: E402
+from alayalite_tpu.utils.datasets import random_dataset  # noqa: E402
+
+N, DIM, BATCH = 100_000, 128, 512
+ds = random_dataset(n=N, dim=DIM, n_queries=0, seed=42, clusters=N // 2000)
+
+idx = Index("u", IndexParams(index_type="hnsw", capacity=N + 32 * BATCH,
+                             max_nbrs=32, ef_construction=200,
+                             quantization_type="bsq8"))
+t0 = time.time()
+idx.fit(ds.data)
+print(f"build {time.time()-t0:.1f}s", flush=True)
+
+rng = np.random.default_rng(0)
+base = ds.data[rng.integers(0, N, size=8 * BATCH)]
+new = base + 0.02 * rng.normal(size=base.shape).astype(np.float32)
+
+# warm (first batch compiles the insert-search shapes)
+t0 = time.time()
+idx.insert(new[:BATCH])
+print(f"insert warm batch ({BATCH}): {time.time()-t0:.1f}s", flush=True)
+
+t0 = time.time()
+for b in range(1, 5):
+    idx.insert(new[b * BATCH: (b + 1) * BATCH])
+dt = time.time() - t0
+print(f"insert steady: {4*BATCH/dt:,.0f} vec/s ({dt/4:.2f}s per {BATCH})",
+      flush=True)
+
+doomed = rng.choice(N, size=4 * BATCH, replace=False).astype(np.int32)
+t0 = time.time()
+for b in range(4):
+    idx.remove(doomed[b * BATCH: (b + 1) * BATCH])
+dt = time.time() - t0
+print(f"remove steady: {4*BATCH/dt:,.0f} vec/s", flush=True)

@@ -320,6 +320,8 @@ def db_sharded_block_search(mesh: Mesh, leaves, metric: str,
         check_vma=False,
     )
     def _search(q, data, sq, dmin, scale, nids, ncodes, nxsq, valid, eps):
+        from ..index.search import scan_seeds
+
         shard_rows = data.shape[0]
         space = BQGSpace(
             data=data, sq_norms=sq, dmin=dmin[0], scale=scale[0],
@@ -328,6 +330,16 @@ def db_sharded_block_search(mesh: Mesh, leaves, metric: str,
             metric="l2", user_metric=metric)
         qj = space.prep_query(q)
         seeds = jnp.broadcast_to(eps.reshape(1, -1), (q.shape[0], eps.size))
+        # per-shard seed scan over a strided local sample: QG graphs are
+        # built locality-first (scan-seeded pools), so entry points near
+        # the query matter — shared eps alone under-reach them
+        step = max(1, shard_rows // 1024)
+        sids = jnp.arange(0, shard_rows, step, dtype=jnp.int32)
+        svec = data[sids].astype(jnp.float32)
+        scan = scan_seeds(qj, sids, svec.astype(jnp.bfloat16),
+                          jnp.sum(svec * svec, axis=1),
+                          nseed=min(8, sids.shape[0]))
+        seeds = jnp.concatenate([scan, seeds], axis=1)
         d, i = block_beam_search(space, seeds, qj, k=k, ef=ef,
                                  valid=valid, n_expand=n_expand)
         i = jnp.where(i >= 0, i + jax.lax.axis_index("db") * shard_rows, -1)

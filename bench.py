@@ -221,9 +221,11 @@ def main() -> None:
         log(f"chip-rate measurement failed: {e}")
     graph_rows = []
     if os.environ.get("ALAYA_BENCH_GRAPH", "1") == "1" and not small:
-        # tuned operating point: 4 hops from seed-scanned entries, M=8
-        # (results/sweep_hop_sched.json + scripts/proto_seedscan.py)
-        iters, m = 4, 8
+        # tuned operating point: 3 hops from seed-scanned entries, M=8 —
+        # scan-seeded BUILD pools raised graph quality enough to drop a hop
+        # (results/sweep_hop_sched.json + scripts/proto_seedscan.py:
+        # ef=24/it=3 -> recall 0.9567 at 514k chip QPS on the r2 graph)
+        iters, m = 3, 8
         graph_rows = measure("bsq8_graph",
                              IndexParams(index_type="hnsw", capacity=n,
                                          max_nbrs=32, ef_construction=200,

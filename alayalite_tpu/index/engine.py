@@ -329,9 +329,10 @@ class IndexEngine:
             cand = np.concatenate([nbrs[touched], rev], axis=1)
             from .nsg import _gather_dists_chunked
 
-            cd = _gather_dists_chunked(self.space, touched, cand, 2048)
-            pruned = occlusion_prune(self.space, touched, cd, cand, r=row_r)
-            nbrs[touched] = pruned
+            tpad, cpad, t = _pad_bucket(touched, cand)
+            cd = _gather_dists_chunked(self.space, tpad, cpad, 2048)
+            pruned = occlusion_prune(self.space, tpad, cd, cpad, r=row_r)
+            nbrs[touched] = np.asarray(pruned)[:t]
         self.graph = Graph(nbrs=jnp.asarray(nbrs), eps=self.graph.eps,
                            overlay=self.graph.overlay)
         # 4. draw levels and link into the overlay hierarchy (hnswlib.hpp
@@ -370,15 +371,18 @@ class IndexEngine:
             cand = np.where(cand == touched[:, None], -1, cand)  # no self-loop
             from .nsg import _gather_dists_chunked
 
-            cd = _gather_dists_chunked(self.space, touched, cand, 2048)
+            tpad, cpad, t = _pad_bucket(touched, cand)
+            cd = _gather_dists_chunked(self.space, tpad, cpad, 2048)
             rows_touched = np.asarray(
-                _topr_dedup(jnp.asarray(cd), jnp.asarray(cand), r))
+                _topr_dedup(jnp.asarray(cd), jnp.asarray(cpad), r))[:t]
             all_ids = np.concatenate([all_ids, touched])
             all_rows = np.concatenate([all_rows, rows_touched], axis=0)
-        # one batched requantization covers new + touched blocks
-        self.search_space = self.search_space.set_neighbor_rows(all_ids,
-                                                                all_rows)
-        ids_j = jnp.asarray(all_ids)
+        # one batched requantization covers new + touched blocks; T-bucket
+        # padding keeps the encode program's shapes recurring
+        pid, prow, t_all = _pad_bucket(np.asarray(all_ids, dtype=np.int32),
+                                       np.asarray(all_rows, dtype=np.int32))
+        self.search_space = self.search_space.set_neighbor_rows(pid, prow)
+        ids_j = jnp.asarray(np.asarray(all_ids, dtype=np.int32))
         rows_j = self.search_space.nbr_ids[ids_j]
         self.graph = Graph(nbrs=self.graph.nbrs.at[ids_j].set(rows_j),
                            eps=self.graph.eps, overlay=self.graph.overlay)
@@ -529,6 +533,23 @@ class IndexEngine:
         return eng
 
 
+def _pad_bucket(ids: np.ndarray, rows: np.ndarray, bucket: int = 256):
+    """Pad (ids [T], rows [T, W]) to a T-bucket so jitted consumers see a
+    small, recurring set of shapes instead of one fresh shape per insert
+    batch (each fresh shape recompiles — ~30 s through a TPU tunnel).
+    Pad ids repeat ids[0] (idempotent duplicate writes), pad rows are -1."""
+    t = ids.shape[0]
+    b = bucket if t <= 8 * bucket else 8 * bucket
+    tp = -(-t // b) * b
+    if tp == t:
+        return ids, rows, t
+    pid = np.full(tp, ids[0], dtype=np.int32)
+    pid[:t] = ids
+    prow = np.full((tp, rows.shape[1]), -1, dtype=rows.dtype)
+    prow[:t] = rows
+    return pid, prow, t
+
+
 def _reverse_candidates(src_ids: np.ndarray, dst_rows: np.ndarray):
     """Invert (source node → its edge list) into per-destination candidate
     lists: one stable sort, no python loop. Returns (touched [T] i32,
@@ -545,7 +566,12 @@ def _reverse_candidates(src_ids: np.ndarray, dst_rows: np.ndarray):
     dst_s, src_s = dst[order], src[order]
     touched, start, counts = np.unique(dst_s, return_index=True,
                                        return_counts=True)
-    rev = np.full((touched.size, int(counts.max())), -1, dtype=np.int32)
+    # width padded to a 16-bucket: the downstream gather/prune programs
+    # are jitted per candidate width, and a fresh width per insert batch
+    # meant a recompile per batch (~30 s through a TPU tunnel — measured
+    # 16 vec/s steady-state insert before bucketing)
+    maxc = -(-int(counts.max()) // 16) * 16
+    rev = np.full((touched.size, maxc), -1, dtype=np.int32)
     pos = np.arange(dst_s.size) - np.repeat(start, counts)
     rev[np.repeat(np.arange(touched.size), counts), pos] = src_s
     return touched.astype(np.int32), rev

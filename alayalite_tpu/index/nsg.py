@@ -201,15 +201,23 @@ class NSGBuilder:
 
 def _gather_dists_chunked(space, node_ids: np.ndarray, cand_i: np.ndarray,
                           chunk: int) -> np.ndarray:
-    """Distances from each node's vector to its candidate ids, chunked on host."""
+    """Distances from each node's vector to its candidate ids, chunked on
+    host. Row counts are padded to 256-buckets so ragged tails (whose size
+    varies call to call, e.g. per insert batch) don't recompile the jitted
+    gather each time."""
     n = node_ids.shape[0]
     out = np.empty(cand_i.shape, dtype=np.float32)
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
-        ids = jnp.asarray(node_ids[lo:hi])
-        q = space.data[ids].astype(jnp.float32)
-        ci = jnp.asarray(cand_i[lo:hi])
-        safe = jnp.where(ci >= 0, ci, 0)
+        m = hi - lo
+        mp = min(chunk, -(-m // 256) * 256)
+        ids = np.zeros(mp, dtype=np.int32)
+        ids[:m] = node_ids[lo:hi]
+        ci = np.full((mp, cand_i.shape[1]), -1, dtype=np.int32)
+        ci[:m] = cand_i[lo:hi]
+        q = space.data[jnp.asarray(ids)].astype(jnp.float32)
+        cij = jnp.asarray(ci)
+        safe = jnp.where(cij >= 0, cij, 0)
         d = space.gather_dists(q, safe)
-        out[lo:hi] = np.asarray(jnp.where(ci >= 0, d, np.inf))
+        out[lo:hi] = np.asarray(jnp.where(cij >= 0, d, np.inf))[:m]
     return out

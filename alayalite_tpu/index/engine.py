@@ -537,7 +537,10 @@ def _pad_bucket(ids: np.ndarray, rows: np.ndarray, bucket: int = 256):
     """Pad (ids [T], rows [T, W]) to a T-bucket so jitted consumers see a
     small, recurring set of shapes instead of one fresh shape per insert
     batch (each fresh shape recompiles — ~30 s through a TPU tunnel).
-    Pad ids repeat ids[0] (idempotent duplicate writes), pad rows are -1."""
+    Pad entries repeat the (ids[0], rows[0]) PAIR: scatter order for
+    duplicate indices is undefined in XLA, so every duplicate write must
+    carry identical data — padding ids[0] with -1 rows wiped the first
+    real row (round-2 advisor finding)."""
     t = ids.shape[0]
     b = bucket if t <= 8 * bucket else 8 * bucket
     tp = -(-t // b) * b
@@ -545,7 +548,7 @@ def _pad_bucket(ids: np.ndarray, rows: np.ndarray, bucket: int = 256):
         return ids, rows, t
     pid = np.full(tp, ids[0], dtype=np.int32)
     pid[:t] = ids
-    prow = np.full((tp, rows.shape[1]), -1, dtype=rows.dtype)
+    prow = np.broadcast_to(rows[0], (tp, rows.shape[1])).copy()
     prow[:t] = rows
     return pid, prow, t
 

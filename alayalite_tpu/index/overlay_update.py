@@ -80,11 +80,17 @@ def extend_overlay(graph: Graph, space, new_ids: np.ndarray,
     up = new_ids[lv >= 1]
     up_vecs = np.asarray(space.data[jnp.asarray(up)].astype(jnp.float32))
     vec_of = {int(g): up_vecs[i] for i, g in enumerate(up)}
-    below_slot = {}  # global id -> slot assigned in the level just below
+    below_slot = {}  # ids linked at the level just below -> their slot there
     changed = False
     for li in range(depth - 1, -1, -1):
         need = depth - li  # nodes with lv >= need belong in list index li
         members = new_ids[lv >= need]
+        if li < depth - 1 and members.size:
+            # only nodes actually linked one level below may climb: a node
+            # truncated out of a full lower level degrades to the levels it
+            # did reach (round-2 advisor: KeyError otherwise)
+            members = np.asarray([g for g in members if int(g) in below_slot],
+                                 dtype=np.int32)
         if members.size == 0:
             break
         L = levels[li]
@@ -96,6 +102,7 @@ def extend_overlay(graph: Graph, space, new_ids: np.ndarray,
                         li, ids.size, members.size)
             members = members[: free.size]
             if members.size == 0:
+                below_slot = {}
                 continue
         occ = np.flatnonzero(ids >= 0)
         slots = free[: members.size]
@@ -110,11 +117,12 @@ def extend_overlay(graph: Graph, space, new_ids: np.ndarray,
         down[slots] = (members if li == depth - 1 else
                        np.array([below_slot[int(g)] for g in members],
                                 dtype=np.int32))
+        this_slot = {}
         for m in range(members.size):
             row = np.full(r2, -1, np.int32)
             row[:k] = occ[sel[m]]
             nbrs[slots[m]] = row
-            below_slot[int(members[m])] = int(slots[m])
+            this_slot[int(members[m])] = int(slots[m])
         # reverse edges: free slot, else replace the farthest if the new
         # node is closer (hnswlib shrink-on-overflow). All overflow rows
         # are scored in ONE device call — a per-edge call costs ~35 ms
@@ -137,6 +145,7 @@ def extend_overlay(graph: Graph, space, new_ids: np.ndarray,
                 worst = int(np.argmax(cd[row_i]))
                 if dnew < cd[row_i][worst]:
                     nbrs[c][worst] = new_slot
+        below_slot = this_slot
         changed = True
 
     if not changed:

@@ -151,6 +151,8 @@ class IndexParams:
         self.max_nbrs = int(self.max_nbrs)
         self.ef_construction = int(self.ef_construction)
         self.beam_expand = max(1, int(self.beam_expand))
+        self.search_iters = int(self.search_iters)
+        self.seed_sample = int(self.seed_sample)
         if self.flat_mode not in ("fast", "exact"):
             raise ValueError(f"invalid flat_mode {self.flat_mode!r}")
 
@@ -179,6 +181,7 @@ class IndexParams:
             "ef_construction": self.ef_construction,
             "beam_expand": self.beam_expand,
             "search_iters": self.search_iters,
+            "seed_sample": self.seed_sample,
             "rotator": self.rotator,
             "compaction_threshold": self.compaction_threshold,
             "flat_mode": self.flat_mode,

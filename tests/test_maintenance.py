@@ -71,6 +71,54 @@ def test_insert_extends_overlay():
     assert hit >= 0.9, hit
 
 
+def test_overlay_full_level_degrades_gracefully():
+    """When an overlay level runs out of pre-padded slots, truncated nodes
+    must degrade to the levels they did reach — not crash with KeyError when
+    a higher level still has room (round-2 advisor, overlay_update.py:111).
+    Forces every insert to draw the max level so the tight bottom level
+    (capacity barely above n) truncates while the top level has free slots."""
+    n = 600
+    ds = random_dataset(n=n, dim=DIM, n_queries=4, seed=21)
+    idx = Index("full", IndexParams(index_type="hnsw", capacity=n + 40,
+                                    max_nbrs=8, ef_construction=48))
+    idx.fit(ds.data)
+    eng = idx._engine
+    assert len(eng.graph.overlay) >= 2
+
+    class _MaxLevelRng:
+        def uniform(self, low=0.0, size=None):
+            return np.full(size, 1e-12)
+
+    eng._rng = _MaxLevelRng()
+    rng = np.random.default_rng(3)
+    new = (ds.data[rng.integers(0, n, size=32)]
+           + 0.05 * rng.normal(size=(32, DIM)).astype(np.float32))
+    new_ids = idx.insert(new)  # KeyError before the fix
+    assert (np.asarray(new_ids) >= 0).all()
+    # every occupied slot's down pointer still resolves level-to-level
+    for li, lvl in enumerate(eng.graph.overlay):
+        ids = np.asarray(lvl.ids)
+        down = np.asarray(lvl.down)
+        occ = np.flatnonzero(ids >= 0)
+        if li + 1 < len(eng.graph.overlay):
+            below = np.asarray(eng.graph.overlay[li + 1].ids)
+            assert (below[down[occ]] == ids[occ]).all(), f"level {li} down"
+        else:
+            assert (down[occ] == ids[occ]).all()
+    ids = idx.batch_search(new[:8], 5, ef_search=64)
+    hit = np.mean([new_ids[i] in ids[i] for i in range(8)])
+    assert hit >= 0.8, hit
+
+
+def test_seed_sample_survives_roundtrip(tmp_path):
+    """seed_sample (and search_iters) persist through save/load — a tuned
+    0 value must not silently reset to 4096 (round-2 advisor, params.py)."""
+    p = IndexParams(index_type="hnsw", capacity=512, max_nbrs=8,
+                    seed_sample=0, search_iters=6)
+    q = IndexParams.from_json(p.to_json())
+    assert q.seed_sample == 0 and q.search_iters == 6
+
+
 def test_update_nodes_rewires_through_removed():
     ds = random_dataset(n=N, dim=DIM, n_queries=16, seed=6)
     idx = Index("t", IndexParams(index_type="hnsw", capacity=N, max_nbrs=16,

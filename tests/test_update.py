@@ -103,6 +103,36 @@ def test_block_quantized_insert(quant):
     assert _rc(np.asarray(ids_old), gt) >= 0.8
 
 
+def test_pad_bucket_pads_with_identical_pairs():
+    """Scatter order for duplicate indices is undefined in XLA, so pad
+    entries must repeat a real (id, row) PAIR — padding ids[0] with -1 rows
+    nondeterministically wiped the first inserted node's neighbor row
+    (round-2 advisor, engine.py:384)."""
+    from alayalite_tpu.index.engine import _pad_bucket
+
+    ids = np.arange(10, dtype=np.int32)
+    rows = np.arange(10 * 4, dtype=np.int32).reshape(10, 4)
+    pid, prow, t = _pad_bucket(ids, rows)
+    assert t == 10 and pid.shape[0] % 256 == 0
+    assert (pid[10:] == ids[0]).all()
+    assert (prow[10:] == rows[0]).all()  # identical pair -> idempotent write
+
+
+def test_block_insert_keeps_first_nodes_edges():
+    """End-to-end: after a non-bucket-multiple block-insert batch, the FIRST
+    inserted node's packed neighbor row must keep its real edges."""
+    ds = random_dataset(n=400, dim=DIM, n_queries=2, seed=23)
+    idx = Index("pw", IndexParams(index_type="hnsw", capacity=500,
+                                  max_nbrs=16, ef_construction=64,
+                                  quantization_type="bsq8"))
+    idx.fit(ds.data)
+    new_ids = idx.insert(ds.data[:12] + 0.01)
+    eng = idx._engine
+    first_row = np.asarray(eng.search_space.nbr_ids[int(new_ids[0])])
+    assert (first_row >= 0).any(), "first inserted node's edges were wiped"
+    assert (np.asarray(eng.graph.nbrs)[int(new_ids[0])] >= 0).any()
+
+
 def test_block_insert_then_remove():
     """Insert + tombstone remove on a bsq8 index keeps results clean."""
     ds = random_dataset(n=400, dim=DIM, n_queries=8, seed=19)

@@ -87,6 +87,52 @@ def search_pool_dev(space, nbrs_dev: jax.Array, eps: np.ndarray, ef: int,
     return pool_d, pool_i
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("chunk", "ef"))
+def _twohop_chunk_into(pool_d, pool_i, space, knn_i_all, lo, chunk: int,
+                       ef: int):
+    """CAGRA-style candidate pool for one chunk: each node's kNN row ∪ its
+    neighbors' kNN rows (2-hop), scored exactly, dedup-top-ef. One fat
+    gather + one sort replaces the beam's ~12 sequential hops."""
+    ki = jax.lax.dynamic_slice_in_dim(knn_i_all, lo, chunk)        # [C, K]
+    safe = jnp.where(ki >= 0, ki, 0)
+    hop2 = knn_i_all[safe]                                         # [C, K, K]
+    hop2 = jnp.where((ki >= 0)[:, :, None], hop2, -1).reshape(chunk, -1)
+    cand = jnp.concatenate([ki, hop2], axis=1)                     # [C, K+K²]
+    me = lo + jnp.arange(chunk, dtype=jnp.int32)[:, None]
+    cand = jnp.where(cand == me, -1, cand)
+    qv = jax.lax.dynamic_slice_in_dim(space.data, lo, chunk
+                                      ).astype(jnp.float32)
+    d = space.gather_dists(qv, jnp.where(cand >= 0, cand, 0))
+    d = jnp.where(cand >= 0, d, FINF)
+    from .prune import _sort_dedup
+
+    sd, si = _sort_dedup(d, cand)
+    return (jax.lax.dynamic_update_slice_in_dim(pool_d, sd[:, :ef], lo, 0),
+            jax.lax.dynamic_update_slice_in_dim(pool_i, si[:, :ef], lo, 0))
+
+
+def twohop_pool_dev(space, knn_i: jax.Array, ef: int, n: int,
+                    chunk: int = 4096) -> Tuple[jax.Array, jax.Array]:
+    """2-hop candidate pools from a kNN graph (device in/out).
+
+    The beam-search pools (search_pool_dev) walk ~12 sequential hops per
+    chunk; on a converged NN-Descent graph the true ef-nearest are almost
+    all within two hops of the kNN row, so one [C, K+K²] gather + exact
+    scoring recovers pool quality at a fraction of the serial depth — the
+    CAGRA construction (pool ∪ reverse ∪ prune) expressed TPU-side."""
+    pool_d = jnp.zeros((n, ef), dtype=jnp.float32)
+    pool_i = jnp.zeros((n, ef), dtype=jnp.int32)
+    starts, chunk = _chunks(n, chunk)
+    for idx, lo in enumerate(starts):
+        pool_d, pool_i = _twohop_chunk_into(
+            pool_d, pool_i, space, knn_i, jnp.asarray(lo, jnp.int32),
+            chunk=chunk, ef=ef)
+        if idx % 50 == 49:
+            log.info("twohop pool: %d/%d", lo + chunk, n)
+    return pool_d, pool_i
+
+
 @functools.partial(jax.jit, donate_argnums=(0,),
                    static_argnames=("r", "alpha", "chunk"))
 def _prune_chunk_into(out_buf, space, cand_d, cand_i, lo, r: int,

@@ -162,11 +162,27 @@ class IndexEngine:
         if not self._fitted:
             raise RuntimeError("index is not fitted")
 
+    @property
+    def _id_dtype(self):
+        """Result-id width per ``params.id_type``: 64-bit id types return
+        int64 (signed keeps the -1 absent sentinel); device-internal ids
+        stay int32 (see the capacity guard in params.py)."""
+        return (np.int64 if self.params.id_type in ("uint64", "int64")
+                else np.int32)
+
     def batch_search_with_distance(
         self, queries: np.ndarray, topk: int, ef: int = 100,
         num_threads: int = 1,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """(ids [Q, topk] i32 with -1 pad, dists [Q, topk] f32)."""
+        """(ids [Q, topk] in the id_type width with -1 pad, dists f32)."""
+        ids, d = self._batch_search_impl(queries, topk, ef, num_threads)
+        return (np.asarray(ids).astype(self._id_dtype, copy=False),
+                np.asarray(d))
+
+    def _batch_search_impl(
+        self, queries: np.ndarray, topk: int, ef: int = 100,
+        num_threads: int = 1,
+    ) -> Tuple[np.ndarray, np.ndarray]:
         del num_threads
         self._require_fitted()
         if isinstance(queries, jax.Array):
@@ -200,12 +216,33 @@ class IndexEngine:
         if self.params.quantization_type.is_block:
             from .search import block_search_device
 
+            if self.params.quantization_type is QuantizationType.RABITQ:
+                # 1-bit estimates need ~4x the pool width for equal recall
+                # (params.rabitq_ef_boost; the reference compensates the
+                # same way with ef=400, test_rabitq_search.py:38-66)
+                boost = float(getattr(self.params, "rabitq_ef_boost", 1.0))
+                ef = max(ef, int(round(ef * boost)))
+            seed_arrays = self._seed_scan_arrays()
+            if (seed_arrays is None
+                    and int(getattr(self.params, "seed_sample", 4096)) <= 0
+                    and int(self.space.num) >= 512
+                    and not getattr(self, "_warned_no_scan", False)):
+                # QG builds use scan-seeded pools by default, which trade
+                # medoid-navigability for locality (DESIGN.md): searching
+                # such a graph from shared entry points alone degrades
+                # recall. Warn once rather than silently underperform.
+                self._warned_no_scan = True
+                log.warning(
+                    "seed_sample=0 disables the per-query seed scan on a "
+                    "block index whose graph was built with scan-seeded "
+                    "pools; expect degraded recall (raise seed_sample, or "
+                    "rebuild with QGBuilder(pool_scan=0))")
             d, i = block_search_device(self.search_space, self.graph.eps, qj,
                                        k=topk, ef=ef, valid=self.space.valid,
                                        max_iters=getattr(self.params,
                                                          "search_iters", 0),
                                        n_expand=m, qchunk=qchunk,
-                                       seed_sample=self._seed_scan_arrays())
+                                       seed_sample=seed_arrays)
             return np.asarray(i)[:nq], np.asarray(d)[:nq]
         from .search import graph_search_device
 
@@ -246,7 +283,10 @@ class IndexEngine:
         n = int(self.space.num)
         if S <= 0 or n < 256:
             return None
-        version = (n, getattr(self, "_mutations", 0))
+        # n bucketed to 1024: the sample only needs to be representative,
+        # and refreshing it per insert batch would re-pay the host gather
+        # on every call of the fused insert path
+        version = (n if n < 2048 else n // 1024, getattr(self, "_mutations", 0))
         if (getattr(self, "_sscan", None) is None
                 or self._sscan_version != version):
             live = np.flatnonzero(np.asarray(self.space.valid[:n]))
@@ -258,8 +298,12 @@ class IndexEngine:
                                                  replace=False))
                               .astype(np.int32))
             vec = self.space.data[ids].astype(jnp.float32)
-            self._sscan = (ids, vec.astype(jnp.bfloat16),
-                           jnp.sum(vec * vec, axis=1))
+            # scan_seeds scores sq − 2·dot; for IP ordering by −2·dot ≡
+            # −dot, so zero the norms (cos keeps them: data normalized)
+            sq = (jnp.zeros((S,), jnp.float32)
+                  if self.space.user_metric == "ip"
+                  else jnp.sum(vec * vec, axis=1))
+            self._sscan = (ids, vec.astype(jnp.bfloat16), sq)
             self._sscan_version = version
         return self._sscan
 
@@ -297,6 +341,10 @@ class IndexEngine:
     def insert(self, vectors, ef: int = 100) -> np.ndarray:
         """Batched online insert (graph_update_job.hpp:66-89). Returns new ids
         (-1 where capacity was exhausted — caller raises, index.py:117-123)."""
+        return np.asarray(self._insert_impl(vectors, ef)).astype(
+            self._id_dtype, copy=False)
+
+    def _insert_impl(self, vectors, ef: int = 100) -> np.ndarray:
         self._require_fitted()
         if self.params.quantization_type.is_block:
             return self._insert_block(vectors, ef)
@@ -343,6 +391,36 @@ class IndexEngine:
                                     self._rng, r)
         return new_ids_np
 
+    def _insert_block_fused(self, vectors, ef: int = 100) -> np.ndarray:
+        """Single-dispatch bsq8 insert (index/fused_insert.py): the whole
+        GraphUpdateJob::insert_and_update pipeline in one jitted program.
+        The host path (_insert_block) paid ~20 tunnel round-trips per batch
+        (~47 vec/s measured r2); this pays 2 (raw append + fused step)."""
+        import jax
+
+        from .fused_insert import fused_block_insert
+
+        v = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        nq = v.shape[0]
+        b = _bucket(nq)
+        vpad = np.zeros((b, v.shape[1]), np.float32)
+        vpad[:nq] = v
+        r = self.search_space.degree
+        self._insert_key = getattr(self, "_insert_key", 0) + 1
+        space2, nbrs2, ids = fused_block_insert(
+            self.search_space, self.graph.nbrs, self.graph.eps,
+            jnp.asarray(vpad), jnp.asarray(nq, jnp.int32),
+            jax.random.PRNGKey(self._insert_key),
+            self._seed_scan_arrays(),
+            r=r, w=16, ef=max(int(ef), r), iters=0,
+            m=self.params.beam_expand)
+        self.search_space = space2
+        self.graph = Graph(nbrs=nbrs2, eps=self.graph.eps,
+                           overlay=self.graph.overlay)
+        # the raw build space mirrors the same bump slots
+        self.space, _raw_ids = self.space.insert(jnp.asarray(v))
+        return np.asarray(ids)[:nq]
+
     def _insert_block(self, vectors, ef: int = 100) -> np.ndarray:
         """Online insert into a block-quantized (QG) index: beam-search the
         new nodes' edges, append raw vectors, set + requantize the new nodes'
@@ -350,7 +428,11 @@ class IndexEngine:
         block (candidates = current edges ∪ new nodes, top-r by distance —
         the reference's GraphUpdateJob::update semantics,
         graph_update_job.hpp:105-137, with RaBitQSpace::update_nei's
-        per-node requantization, rabitq_space.hpp:138-161)."""
+        per-node requantization, rabitq_space.hpp:138-161). bsq8 takes the
+        fused single-dispatch path; rabitq keeps the host-orchestrated one
+        (its per-node requantization is centroid-relative)."""
+        if self.params.quantization_type is QuantizationType.BSQ8:
+            return self._insert_block_fused(vectors, ef)
         v = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
         r = self.search_space.degree
         ids_nb, _d = self.batch_search_with_distance(v, r, ef=max(ef, r))

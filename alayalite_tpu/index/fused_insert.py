@@ -1,0 +1,140 @@
+"""Single-dispatch online insert for block (bsq8) indices.
+
+The round-2 insert path was host-orchestrated: ~20 dispatches per batch
+(search, raw append, reverse group-by on host, candidate gather, prune,
+requantize, adjacency writes), which through a TPU tunnel's ~35 ms floor
+capped throughput at ~47 vec/s. This jitted step runs the ENTIRE reference
+pipeline — GraphUpdateJob::insert_and_update (graph_update_job.hpp:66-137)
+plus RaBitQSpace::update_nei's requantization (rabitq_space.hpp:138-161),
+SQ8-block edition — in ONE program:
+
+  1. beam-search each new vector's top-R edges (estimated + exact rerank)
+  2. append raw vectors + encode the new nodes' packed blocks
+  3. bounded reverse-edge scatter (reservoir semantics, like the
+     reference's locked bounded insertion) instead of a host group-by
+  4. re-select + requantize every touched node's block: candidates =
+     current edges ∪ the new sources pointing at it, top-R by exact
+     distance
+
+Touched-node scatters are duplicate-safe by construction: duplicate dst
+copies compute from the same pre-update state, so every duplicate write
+carries identical data (XLA scatter order is undefined for duplicates).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+FINF = float("inf")
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("r", "w", "ef", "iters", "m"))
+def fused_block_insert(
+    space,                  # BQGSpace (donated)
+    graph_nbrs: jax.Array,  # [C, R] i32 (donated)
+    eps: jax.Array,         # [E] i32 shared entry points
+    vecs: jax.Array,        # [B, D] f32 (suffix past ``count`` is padding)
+    count: jax.Array,       # scalar i32: real rows in ``vecs``
+    key: jax.Array,         # PRNG key for reverse-slot reservoir
+    seed_sample,            # scan_seeds tuple or None
+    r: int, w: int, ef: int, iters: int, m: int,
+) -> Tuple[object, jax.Array, jax.Array]:
+    """Returns (space', graph_nbrs', new_ids [B] i32 with -1 pads/overflow)."""
+    from ..spaces.bqg import _encode_block
+    from .prune import _sort_dedup
+    from .search import block_beam_search, scan_seeds
+
+    B, D = vecs.shape
+    C = space.capacity
+    v = space.prep_query(vecs)
+
+    # 1. edges for the new nodes (existing nodes only: new slots are not
+    #    yet valid, so results cannot reference them)
+    if seed_sample is not None:
+        seeds = scan_seeds(v, *seed_sample)
+    else:
+        seeds = jnp.broadcast_to(eps[None, :], (B, eps.shape[0]))
+    _, ids_nb = block_beam_search(space, seeds, v, k=r, ef=max(ef, r),
+                                  max_iters=iters, valid=space.valid,
+                                  n_expand=m)
+
+    # 2. append raw vectors at the bump pointer
+    start = space.num
+    slots = start + jnp.arange(B, dtype=jnp.int32)
+    ok = (jnp.arange(B) < count) & (slots < C)
+    slot_safe = jnp.where(ok, slots, 0)
+    data = space.data.at[slot_safe].set(
+        jnp.where(ok[:, None], v, space.data[slot_safe]))
+    sq = space.sq_norms.at[slot_safe].set(
+        jnp.where(ok, jnp.sum(v * v, axis=-1), space.sq_norms[slot_safe]))
+    valid = space.valid.at[slot_safe].set(
+        jnp.where(ok, True, space.valid[slot_safe]))
+    new_num = jnp.minimum(start + count, C).astype(jnp.int32)
+
+    rows_new = jnp.where(ok[:, None], ids_nb, -1)
+    codes_new, xsq_new = _encode_block(data, space.dmin, space.scale,
+                                       rows_new,
+                                       store_sq=space.metric == "l2")
+    nbr_ids = space.nbr_ids.at[slot_safe].set(
+        jnp.where(ok[:, None], rows_new, space.nbr_ids[slot_safe]))
+    nbr_codes = space.nbr_codes.at[slot_safe].set(
+        jnp.where(ok[:, None, None], codes_new,
+                  space.nbr_codes[slot_safe]))
+    nbr_xsq = space.nbr_xsq.at[slot_safe].set(
+        jnp.where(ok[:, None], xsq_new, space.nbr_xsq[slot_safe]))
+    graph_nbrs = graph_nbrs.at[slot_safe].set(
+        jnp.where(ok[:, None], rows_new, graph_nbrs[slot_safe]))
+
+    # 3. bounded reverse table: which new nodes point at each touched dst
+    #    (random-slot reservoir — collisions drop, like reverse_edges_dev)
+    dst = jnp.where(ok[:, None] & (ids_nb >= 0), ids_nb, C)  # C = dropped
+    src = jnp.broadcast_to(slots[:, None], (B, r))
+    slot_rand = jax.random.randint(key, (B, r), 0, w)
+    rev = jnp.full((C, w), -1, dtype=jnp.int32)
+    rev = rev.at[dst.reshape(-1), slot_rand.reshape(-1)].set(
+        src.reshape(-1), mode="drop")
+
+    # 4. re-select + requantize every touched row. Duplicate dsts in
+    #    ``touched`` read identical state and write identical rows.
+    touched = jnp.where(dst < C, dst, 0).reshape(-1)          # [B*r]
+    is_real = (dst < C).reshape(-1)
+    tq = data[touched].astype(jnp.float32)
+    cand = jnp.concatenate([nbr_ids[touched], rev[touched]], axis=1)
+    cand = jnp.where(cand == touched[:, None], -1, cand)      # no self-loop
+    cd = _bqg_exact_dists(space, data, sq, tq, cand)
+    _, sorted_ids = _sort_dedup(cd, cand)
+    rows_t = sorted_ids[:, :r]
+    codes_t, xsq_t = _encode_block(data, space.dmin, space.scale, rows_t,
+                                   store_sq=space.metric == "l2")
+    # pad entries scatter to index C with mode="drop" — no write at all
+    # (a pad aimed at any real slot could race a real write)
+    t_write = jnp.where(is_real, touched, C)
+    nbr_ids = nbr_ids.at[t_write].set(rows_t, mode="drop")
+    nbr_codes = nbr_codes.at[t_write].set(codes_t, mode="drop")
+    nbr_xsq = nbr_xsq.at[t_write].set(xsq_t, mode="drop")
+    graph_nbrs = graph_nbrs.at[t_write].set(rows_t, mode="drop")
+
+    space = space.replace(data=data, sq_norms=sq, valid=valid, num=new_num,
+                          nbr_ids=nbr_ids, nbr_codes=nbr_codes,
+                          nbr_xsq=nbr_xsq)
+    return space, graph_nbrs, jnp.where(ok, slots, -1)
+
+
+def _bqg_exact_dists(space, data, sq, q, ids):
+    """Exact distances with the UPDATED data/sq arrays (the space pytree
+    still holds pre-insert buffers at trace time)."""
+    safe = jnp.clip(ids, 0, data.shape[0] - 1)
+    vecs = data[safe]
+    dot = jnp.einsum("bkd,bd->bk", vecs, q,
+                     preferred_element_type=jnp.float32)
+    if space.metric == "ip":
+        d = -dot
+    else:
+        q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+        d = jnp.maximum(q_sq + sq[safe] - 2.0 * dot, 0.0)
+    return jnp.where(ids >= 0, d, FINF)

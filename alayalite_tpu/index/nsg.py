@@ -90,15 +90,16 @@ def _components_of_bfs(nbrs: np.ndarray, members: np.ndarray) -> np.ndarray:
     return np.asarray(reps, dtype=np.int32)
 
 
-def _attach_unreached(space, nbrs: np.ndarray, ep: int, ef: int,
-                      chunk: int) -> np.ndarray:
-    """Connectivity repair (tree_grow/attach_unlinked analog,
-    nsg_builder.hpp:500-628): BFS from ep, then add ONE edge per unreached
-    *component* — from the component representative's nearest reached node —
-    so each round strictly shrinks the unreached set (per-node attachment
-    oscillates: full rows get their repair edges clobbered by later ones)."""
+def _reached_from(nbrs: np.ndarray, ep: int) -> np.ndarray:
+    """Directed reachability from ``ep`` as a bool mask. scipy's C BFS when
+    available (one O(E) pass — the per-level numpy frontier loop paid
+    ~python-per-level on deep locality-first graphs at 1M); numpy fallback
+    otherwise."""
     n = nbrs.shape[0]
-    for _round in range(24):
+    try:
+        from scipy.sparse import csr_matrix
+        from scipy.sparse.csgraph import breadth_first_order
+    except Exception:
         reached = np.zeros(n, dtype=bool)
         frontier = np.array([ep], dtype=np.int32)
         reached[ep] = True
@@ -109,6 +110,29 @@ def _attach_unreached(space, nbrs: np.ndarray, ep: int, ef: int,
             nxt = nxt[~reached[nxt]]
             reached[nxt] = True
             frontier = nxt
+        return reached
+    src = np.repeat(np.arange(n, dtype=np.int64), nbrs.shape[1])
+    dst = nbrs.reshape(-1).astype(np.int64)
+    keep = dst >= 0
+    m = csr_matrix((np.ones(int(keep.sum()), np.int8),
+                    (src[keep], dst[keep])), shape=(n, n))
+    order = breadth_first_order(m, ep, directed=True,
+                                return_predecessors=False)
+    reached = np.zeros(n, dtype=bool)
+    reached[order] = True
+    return reached
+
+
+def _attach_unreached(space, nbrs: np.ndarray, ep: int, ef: int,
+                      chunk: int) -> np.ndarray:
+    """Connectivity repair (tree_grow/attach_unlinked analog,
+    nsg_builder.hpp:500-628): BFS from ep, then add ONE edge per unreached
+    *component* — from the component representative's nearest reached node —
+    so each round strictly shrinks the unreached set (per-node attachment
+    oscillates: full rows get their repair edges clobbered by later ones)."""
+    n = nbrs.shape[0]
+    for _round in range(24):
+        reached = _reached_from(nbrs, ep)
         missing = np.nonzero(~reached)[0]
         # residual unreachable below 0.02% is noise next to quantization
         # and beam-truncation effects; stop burning repair rounds on it

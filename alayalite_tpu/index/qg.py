@@ -58,6 +58,11 @@ class QGBuilder:
     nnd_iters: int = 0  # 0 = auto (~log2 n rounds)
     pool_iters: int = 0  # build-pool beam hop cap (0 = beam auto)
     pool_scan: int = 4096  # seed-scan sample for build pools (0 = off)
+    # "beam" = scan-seeded beam-search pools (search_pool_dev);
+    # "twohop" = CAGRA-style kNN ∪ kNN² exact-scored pools
+    # (build_phases.twohop_pool_dev) — one fat gather instead of ~12
+    # sequential hops per chunk. ALAYA_POOL_MODE overrides for A/Bs.
+    pool_mode: str = "beam"
     seed: int = 0
 
     def build_graph(self, raw_space, rabitq_space, n: Optional[int] = None):
@@ -96,24 +101,35 @@ class QGBuilder:
         sync(knn_i)
         log.info("qg: knn graph %.1fs", time.time() - t0)
         ep = find_medoid(raw_space, n)
-        sample = None
-        pool_iters = self.pool_iters
-        if self.pool_scan and n >= 4 * 128:
-            s = min(self.pool_scan, (n // 128) * 128)
-            rng = np.random.default_rng(self.seed + 5)
-            sids = jnp.asarray(np.sort(rng.choice(n, size=s, replace=False))
-                               .astype(np.int32))
-            svec = raw_space.data[sids].astype(jnp.float32)
-            sample = (sids, svec.astype(jnp.bfloat16),
-                      jnp.sum(svec * svec, axis=1))
-            if pool_iters == 0:
-                # scan-seeded beams start 2-4 hops closer; 12 hops match
-                # 29-hop-from-medoid pool quality (scripts/ab_pool_scan.py)
-                pool_iters = 12
-        pool_d, pool_i = search_pool_dev(
-            raw_space, knn_i, np.array([ep]), ef=self.ef, n=n,
-            chunk=self.chunk, seed=self.seed, max_iters=pool_iters,
-            seed_sample=sample)
+        pool_mode = os.environ.get("ALAYA_POOL_MODE", self.pool_mode)
+        if pool_mode == "twohop":
+            from .build_phases import twohop_pool_dev
+
+            pool_d, pool_i = twohop_pool_dev(raw_space, knn_i, ef=self.ef,
+                                             n=n, chunk=self.chunk)
+        else:
+            sample = None
+            pool_iters = self.pool_iters
+            if self.pool_scan and n >= 4 * 128:
+                s = min(self.pool_scan, (n // 128) * 128)
+                rng = np.random.default_rng(self.seed + 5)
+                sids = jnp.asarray(np.sort(rng.choice(n, size=s,
+                                                      replace=False))
+                                   .astype(np.int32))
+                svec = raw_space.data[sids].astype(jnp.float32)
+                # IP: zero norms make the scan order by −2·dot ≡ −dot
+                ssq = (jnp.zeros((sids.shape[0],), jnp.float32)
+                       if raw_space.user_metric == "ip"
+                       else jnp.sum(svec * svec, axis=1))
+                sample = (sids, svec.astype(jnp.bfloat16), ssq)
+                if pool_iters == 0:
+                    # scan-seeded beams start 2-4 hops closer; 12 hops match
+                    # 29-hop-from-medoid pool quality (scripts/ab_pool_scan.py)
+                    pool_iters = 12
+            pool_d, pool_i = search_pool_dev(
+                raw_space, knn_i, np.array([ep]), ef=self.ef, n=n,
+                chunk=self.chunk, seed=self.seed, max_iters=pool_iters,
+                seed_sample=sample)
         cand_i = jnp.concatenate([pool_i, knn_i], axis=1)
         cand_d = jnp.concatenate([pool_d, knn_d], axis=1)
         sync(cand_i)

@@ -23,12 +23,22 @@ def _assert(cond: bool, msg: str) -> None:
         raise ValueError(msg)
 
 
+def _make_engine(params: IndexParams):
+    """db_shards > 1 routes to the row-partitioned multi-device engine
+    (parallel/engine_sharded.py); the API surface is identical."""
+    if getattr(params, "db_shards", 1) > 1:
+        from .parallel.engine_sharded import ShardedEngine
+
+        return ShardedEngine(params)
+    return IndexEngine(params)
+
+
 class Index:
     def __init__(self, name: str = "default",
                  params: Optional[IndexParams] = None):
         self.name = name
         self.params = params if params is not None else IndexParams()
-        self._engine = IndexEngine(self.params)
+        self._engine = _make_engine(self.params)
         self._dim: Optional[int] = None
         self._dtype = np.float32
 
@@ -135,7 +145,16 @@ class Index:
         directory = os.path.join(url, name)
         if not os.path.exists(directory):
             raise RuntimeError(f"Index {name} does not exist")
-        engine = IndexEngine.load(directory)
+        import json
+
+        with open(os.path.join(directory, "schema.json")) as f:
+            db_shards = int(json.load(f).get("db_shards", 1))
+        if db_shards > 1:
+            from .parallel.engine_sharded import ShardedEngine
+
+            engine = ShardedEngine.load(directory)
+        else:
+            engine = IndexEngine.load(directory)
         idx = cls(name, engine.params)
         idx._engine = engine
         idx._dim = engine.space.dim if engine.space is not None else None

@@ -1,0 +1,344 @@
+"""ShardedEngine — the db-sharded index behind the SDK.
+
+Folds the multi-chip classes (parallel/sharded.py) into the Client/Index
+contract (round-2 verdict #3): ``IndexParams(db_shards=N)`` makes
+Index/Client create, save, load, insert into, and remove from a
+row-partitioned index with the same schema.json + npz persistence layout —
+the reference threads its scaling knob (num_threads) through the same SDK
+surface (python/src/alayalite/index.py:145-162, client.py:251-294).
+
+Design: N single-device ``IndexEngine`` shards own mutation (insert /
+remove / compaction reuse the whole single-chip machinery verbatim);
+search fans out over a ("dp", "db") mesh with one ICI all_gather top-k
+merge (db_sharded_flat_search / db_sharded_block_search). With fewer JAX
+devices than shards, search falls back to sequential per-shard dispatch +
+host merge — same results, so a sharded index is usable anywhere (CI, a
+single chip, a pod).
+
+Ids: the engine keeps an explicit global⇄(shard, local) mapping so global
+ids are stable row positions at fit (0..n-1, reference semantics) and keep
+growing across inserts regardless of which shard absorbed the row.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+from typing import List, Optional, Tuple, Union
+
+import numpy as np
+
+from ..params import IndexParams, IndexType, QuantizationType
+
+log = logging.getLogger("alayalite_tpu")
+
+_MAPFILE = "shard_map.npz"
+
+
+class ShardedEngine:
+    """Same duck-type surface as index.engine.IndexEngine."""
+
+    def __init__(self, params: IndexParams):
+        if params.db_shards < 2:
+            raise ValueError("ShardedEngine requires db_shards >= 2")
+        self.params = params
+        self.ndb = int(params.db_shards)
+        self.per_cap = -(-params.capacity // self.ndb)
+        self.shards: List = [self._make_shard() for _ in range(self.ndb)]
+        self._fitted = False
+        self._l2g = np.full((self.ndb, self.per_cap), -1, np.int32)
+        self._g2s = np.full(self.ndb * self.per_cap, -1, np.int32)
+        self._g2l = np.full(self.ndb * self.per_cap, -1, np.int32)
+        self._next_gid = 0
+        self._leaves = None          # cached device-sharded search state
+        self._leaves_version = None
+
+    def _make_shard(self):
+        from ..index.engine import IndexEngine
+
+        p = dataclasses.replace(self.params, capacity=self.per_cap,
+                                db_shards=1)
+        return IndexEngine(p)
+
+    # ------------------------------------------------------------------ fit
+    def fit(self, vectors: np.ndarray, ef_construction: Optional[int] = None,
+            num_threads: int = 1) -> None:
+        v = np.asarray(vectors, dtype=np.float32)
+        if v.ndim != 2:
+            raise ValueError("fit expects a 2-D array [n, dim]")
+        n = v.shape[0]
+        if n > self.ndb * self.per_cap:
+            self.per_cap = -(-n // self.ndb)
+            self.shards = [self._make_shard() for _ in range(self.ndb)]
+            self._l2g = np.full((self.ndb, self.per_cap), -1, np.int32)
+            self._g2s = np.full(self.ndb * self.per_cap, -1, np.int32)
+            self._g2l = np.full(self.ndb * self.per_cap, -1, np.int32)
+        if n < self.ndb:
+            raise ValueError(
+                f"fit of {n} vectors cannot fill db_shards={self.ndb} "
+                "shards; lower db_shards or fit more vectors")
+        # contiguous balanced chunks: global id == original row position
+        # (reference semantics: fit assigns ids 0..n-1)
+        chunks = np.array_split(v, self.ndb)
+        off = 0
+        for s, rows in enumerate(chunks):
+            self.shards[s].fit(rows, ef_construction=ef_construction)
+            gids = off + np.arange(rows.shape[0])
+            self._l2g[s, : rows.shape[0]] = gids
+            self._g2s[gids] = s
+            self._g2l[gids] = np.arange(rows.shape[0])
+            off += rows.shape[0]
+        self._next_gid = n
+        self._fitted = True
+        self._leaves = None
+
+    # --------------------------------------------------------------- search
+    def _require_fitted(self):
+        if not self._fitted:
+            raise RuntimeError("index is not fitted")
+
+    @property
+    def _id_dtype(self):
+        return (np.int64 if self.params.id_type in ("uint64", "int64")
+                else np.int32)
+
+    def _mesh(self):
+        """("dp"=1, "db"=ndb) mesh when enough devices exist, else None."""
+        import jax
+
+        devs = jax.devices()
+        if len(devs) < self.ndb:
+            return None
+        from .sharded import make_mesh
+
+        return make_mesh(n_devices=self.ndb, dp=1, devices=devs)
+
+    def _version(self):
+        return tuple(int(sh.space.num) for sh in self.shards) + tuple(
+            getattr(sh, "_mutations", 0) for sh in self.shards)
+
+    def _assemble_leaves(self, mesh):
+        """Concatenate per-shard space arrays and place them row-sharded
+        over the mesh's "db" axis (cached until a shard mutates)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if self._leaves is not None and self._leaves_version == self._version():
+            return self._leaves
+        put = lambda arrs, spec: jax.device_put(  # noqa: E731
+            jnp.concatenate([jnp.asarray(a) for a in arrs]),
+            NamedSharding(mesh, spec))
+        if self.params.index_type is IndexType.FLAT:
+            from ..spaces.raw import RawSpace
+
+            sp0 = self.shards[0].space
+            space = RawSpace(
+                data=put([sh.space.data for sh in self.shards],
+                         P("db", None)),
+                sq_norms=put([sh.space.sq_norms for sh in self.shards],
+                             P("db")),
+                valid=put([sh.space.valid for sh in self.shards], P("db")),
+                num=jnp.asarray(self.ndb * self.per_cap, jnp.int32),
+                metric=sp0.metric, user_metric=sp0.user_metric,
+                bf16=sp0.bf16)
+            self._leaves = space
+        else:  # block (bsq8)
+            eps = []
+            for sh in self.shards:
+                e = np.zeros(8, np.int32)
+                eg = np.asarray(sh.graph.eps)
+                e[: min(len(eg), 8)] = np.clip(eg[:8], 0, self.per_cap - 1)
+                eps.append(e[None])
+            self._leaves = (
+                put([sh.search_space.data for sh in self.shards],
+                    P("db", None)),
+                put([sh.search_space.sq_norms for sh in self.shards],
+                    P("db")),
+                put([np.asarray(sh.search_space.dmin)[None]
+                     for sh in self.shards], P("db", None)),
+                put([np.asarray(sh.search_space.scale)[None]
+                     for sh in self.shards], P("db", None)),
+                put([sh.search_space.nbr_ids for sh in self.shards],
+                    P("db", None)),
+                put([sh.search_space.nbr_codes for sh in self.shards],
+                    P("db", None, None)),
+                put([sh.search_space.nbr_xsq for sh in self.shards],
+                    P("db", None)),
+                put([sh.space.valid for sh in self.shards], P("db")),
+                put([np.asarray(e) for e in eps], P("db", None)),
+            )
+        self._leaves_version = self._version()
+        return self._leaves
+
+    def _remap(self, ids: np.ndarray) -> np.ndarray:
+        """Device results use combined ids (shard * per_cap + local);
+        translate to stable global ids via the l2g table."""
+        flat = self._l2g.reshape(-1)
+        safe = np.clip(ids, 0, flat.size - 1)
+        return np.where(ids >= 0, flat[safe], -1)
+
+    def batch_search_with_distance(
+        self, queries: np.ndarray, topk: int, ef: int = 100,
+        num_threads: int = 1,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        del num_threads
+        self._require_fitted()
+        q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        mesh = self._mesh()
+        if mesh is None:
+            return self._search_fallback(q, topk, ef)
+        import jax.numpy as jnp
+
+        if self.params.index_type is IndexType.FLAT:
+            from .sharded import db_sharded_flat_search
+
+            space = self._assemble_leaves(mesh)
+            d, i = db_sharded_flat_search(
+                mesh, space, space.prep_query(jnp.asarray(q)), topk,
+                bf16=self.params.flat_mode == "fast")
+        else:
+            from .sharded import db_sharded_block_search
+
+            leaves = self._assemble_leaves(mesh)
+            d, i = db_sharded_block_search(
+                mesh, leaves, self.params.metric.value, jnp.asarray(q),
+                k=topk, ef=max(int(ef), topk),
+                n_expand=self.params.beam_expand)
+        ids = self._remap(np.asarray(i))
+        d = np.where(ids >= 0, np.asarray(d), np.inf)
+        return ids.astype(self._id_dtype, copy=False), d
+
+    def _search_fallback(self, q, topk: int, ef: int):
+        """Sequential per-shard search + host top-k merge (identical
+        results to the mesh path; used when devices < db_shards)."""
+        all_d, all_i = [], []
+        for s, sh in enumerate(self.shards):
+            ids, d = sh.batch_search_with_distance(q, topk, ef=ef)
+            ids = np.asarray(ids, dtype=np.int64)
+            gl = np.where(ids >= 0,
+                          self._l2g[s][np.clip(ids, 0, self.per_cap - 1)],
+                          -1)
+            all_i.append(gl)
+            all_d.append(np.where(gl >= 0, np.asarray(d), np.inf))
+        dd = np.concatenate(all_d, axis=1)
+        ii = np.concatenate(all_i, axis=1)
+        sel = np.argsort(dd, axis=1, kind="stable")[:, :topk]
+        out_d = np.take_along_axis(dd, sel, axis=1)
+        out_i = np.take_along_axis(ii, sel, axis=1)
+        out_i = np.where(np.isfinite(out_d), out_i, -1)
+        return out_i.astype(self._id_dtype, copy=False), out_d
+
+    def batch_search(self, queries, topk: int, ef: int = 100,
+                     num_threads: int = 1) -> np.ndarray:
+        ids, _ = self.batch_search_with_distance(queries, topk, ef,
+                                                 num_threads)
+        return ids
+
+    def search(self, query, topk: int, ef: int = 100) -> np.ndarray:
+        return self.batch_search(np.atleast_2d(query), topk, ef)[0]
+
+    def search_with_distance(self, query, topk: int, ef: int = 100):
+        ids, d = self.batch_search_with_distance(np.atleast_2d(query),
+                                                 topk, ef)
+        return ids[0], d[0]
+
+    # --------------------------------------------------------------- update
+    def insert(self, vectors, ef: int = 100) -> np.ndarray:
+        """Route each batch slice to the emptiest shards; per-shard inserts
+        reuse the single-chip GraphUpdateJob machinery wholesale."""
+        self._require_fitted()
+        v = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        out = np.full(v.shape[0], -1, np.int64)
+        remaining = np.arange(v.shape[0])
+        order = np.argsort([-(self.per_cap - int(sh.space.num))
+                            for sh in self.shards], kind="stable")
+        for s in order:
+            if remaining.size == 0:
+                break
+            free = self.per_cap - int(self.shards[s].space.num)
+            if free <= 0:
+                continue
+            take = remaining[:free]
+            local = np.asarray(self.shards[s].insert(v[take], ef=ef),
+                               dtype=np.int64)
+            ok = local >= 0
+            gids = self._next_gid + np.arange(int(ok.sum()))
+            self._next_gid += int(ok.sum())
+            self._l2g[s, local[ok]] = gids
+            self._g2s[gids] = s
+            self._g2l[gids] = local[ok]
+            out[take[ok]] = gids
+            remaining = remaining[free:]
+        self._leaves = None
+        return out.astype(self._id_dtype, copy=False)
+
+    def remove(self, ids) -> None:
+        self._require_fitted()
+        gids = np.atleast_1d(np.asarray(ids, dtype=np.int64))
+        gids = gids[(gids >= 0) & (gids < self._g2s.size)]
+        ss = self._g2s[gids]
+        for s in range(self.ndb):
+            loc = self._g2l[gids[ss == s]]
+            if loc.size:
+                self.shards[s].remove(loc.astype(np.int32))
+        self._leaves = None
+
+    def get_data_by_id(self, id_: int) -> np.ndarray:
+        self._require_fitted()
+        s, l = int(self._g2s[int(id_)]), int(self._g2l[int(id_)])
+        if s < 0:
+            raise ValueError(f"unknown id {id_}")
+        return self.shards[s].get_data_by_id(l)
+
+    @property
+    def num(self) -> int:
+        return sum(int(sh.space.num) for sh in self.shards) if self._fitted else 0
+
+    @property
+    def capacity(self) -> int:
+        return self.ndb * self.per_cap
+
+    @property
+    def space(self):
+        """Shard-0 space (dim/dtype introspection by the SDK façade)."""
+        return self.shards[0].space
+
+    # ---------------------------------------------------------- persistence
+    def save(self, directory: Union[str, os.PathLike]) -> None:
+        """Per-shard subdirectories (each a complete single-device index
+        with its own schema.json) + the id-mapping blob. The top-level
+        schema.json (with db_shards) is written by Index.save — the same
+        split as the reference's Client/Index contract."""
+        self._require_fitted()
+        os.makedirs(directory, exist_ok=True)
+        for s, sh in enumerate(self.shards):
+            sub = os.path.join(directory, f"shard_{s:02d}")
+            os.makedirs(sub, exist_ok=True)
+            with open(os.path.join(sub, "schema.json"), "w") as f:
+                f.write(sh.params.to_json())
+            sh.save(sub)
+        np.savez(os.path.join(directory, _MAPFILE),
+                 l2g=self._l2g, g2s=self._g2s, g2l=self._g2l,
+                 next_gid=self._next_gid)
+
+    @classmethod
+    def load(cls, directory: Union[str, os.PathLike]) -> "ShardedEngine":
+        from ..index.engine import IndexEngine
+
+        with open(os.path.join(directory, "schema.json")) as f:
+            params = IndexParams.from_dict(json.load(f))
+        eng = cls(params)
+        eng.shards = [
+            IndexEngine.load(os.path.join(directory, f"shard_{s:02d}"))
+            for s in range(eng.ndb)]
+        eng.per_cap = eng.shards[0].space.capacity
+        with np.load(os.path.join(directory, _MAPFILE)) as z:
+            eng._l2g = z["l2g"]
+            eng._g2s = z["g2s"]
+            eng._g2l = z["g2l"]
+            eng._next_gid = int(z["next_gid"])
+        eng._fitted = True
+        return eng

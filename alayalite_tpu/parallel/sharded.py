@@ -327,7 +327,7 @@ def db_sharded_block_search(mesh: Mesh, leaves, metric: str,
             data=data, sq_norms=sq, dmin=dmin[0], scale=scale[0],
             nbr_ids=nids, nbr_codes=ncodes, nbr_xsq=nxsq, valid=valid,
             num=jnp.asarray(shard_rows, jnp.int32),
-            metric="l2", user_metric=metric)
+            metric="ip" if metric == "ip" else "l2", user_metric=metric)
         qj = space.prep_query(q)
         seeds = jnp.broadcast_to(eps.reshape(1, -1), (q.shape[0], eps.size))
         # per-shard seed scan over a strided local sample: QG graphs are
@@ -336,8 +336,9 @@ def db_sharded_block_search(mesh: Mesh, leaves, metric: str,
         step = max(1, shard_rows // 1024)
         sids = jnp.arange(0, shard_rows, step, dtype=jnp.int32)
         svec = data[sids].astype(jnp.float32)
-        scan = scan_seeds(qj, sids, svec.astype(jnp.bfloat16),
-                          jnp.sum(svec * svec, axis=1),
+        ssq = (jnp.zeros((sids.shape[0],), jnp.float32) if metric == "ip"
+               else jnp.sum(svec * svec, axis=1))
+        scan = scan_seeds(qj, sids, svec.astype(jnp.bfloat16), ssq,
                           nseed=min(8, sids.shape[0]))
         seeds = jnp.concatenate([scan, seeds], axis=1)
         d, i = block_beam_search(space, seeds, qj, k=k, ef=ef,

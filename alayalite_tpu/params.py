@@ -108,10 +108,26 @@ class IndexParams:
     # bf16 MXU scan + approx selection + f32 rerank (recall ≥ 0.999 vs
     # exact, ~8x faster) — opt in for throughput.
     flat_mode: str = "exact"
+    # ef multiplier applied internally for 1-bit rabitq searches. The 1-bit
+    # estimator's noise needs ~4-5x the pool width of exact traversal for
+    # equal recall (the reference's own acceptance test runs ef=400 for
+    # k=10, test_rabitq_search.py:38-66; measured here: ef=240 for 0.96 at
+    # 100k, results/sweep_rabitq_100k.json). Applied only when
+    # quantization_type == "rabitq"; set 1.0 to opt out. rabitq2 (2-bit)
+    # needs no boost and is the recommended rabitq config.
+    rabitq_ef_boost: float = 4.0
     # RaBitQ rotator: "matrix" (QR orthonormal, MatrixRotator) or "fht_kac"
     # (sign-flip + Walsh-Hadamard rounds, FhtKac rotator, power-of-two dims;
     # materialized to its equivalent matrix at create — rotator.hpp:85-166).
     rotator: str = "matrix"
+    # Multi-chip scaling knob (the reference's num_threads analog,
+    # index.py:145-162, re-expressed as a device-mesh axis — SURVEY.md §2c):
+    # > 1 partitions the database rows into this many shards, searched
+    # fan-out with one ICI all_gather top-k merge (parallel/sharded.py).
+    # Supported for flat and block (bsq8) indices. With fewer JAX devices
+    # than shards the engine falls back to sequential per-shard search with
+    # a host merge (same results; lets a sharded index build/run anywhere).
+    db_shards: int = 1
     # when the tombstoned fraction of stored vectors exceeds this, remove()
     # triggers a batched edge rewire: every live node that lost a neighbor
     # re-selects edges through the removed nodes' 2-hop neighborhoods (the
@@ -145,6 +161,17 @@ class IndexParams:
             raise ValueError(f"invalid rotator {self.rotator!r}")
         if int(self.capacity) <= 0:
             raise ValueError("capacity must be positive")
+        # Device-side node ids are int32 (graph rows, pools, packed sort
+        # payloads are i32 lanes — the TPU-native layout). The reference's
+        # u64 template instantiation (dispatch.hpp:25-175) exists to exceed
+        # 2³¹ nodes; one chip's HBM cannot hold that many vectors, so
+        # beyond-int32 capacity must shard across chips (parallel/sharded)
+        # rather than widen ids. Fail loudly instead of overflowing.
+        if int(self.capacity) > 2**31 - 2:
+            raise ValueError(
+                "capacity exceeds int32 node-id range (2**31 - 2); "
+                "single-device ids are int32 — shard the database across "
+                "devices (db_shards) for larger collections")
         if int(self.max_nbrs) <= 0:
             raise ValueError("max_nbrs must be positive")
         self.capacity = int(self.capacity)
@@ -153,6 +180,20 @@ class IndexParams:
         self.beam_expand = max(1, int(self.beam_expand))
         self.search_iters = int(self.search_iters)
         self.seed_sample = int(self.seed_sample)
+        self.rabitq_ef_boost = float(self.rabitq_ef_boost)
+        if self.rabitq_ef_boost < 1.0:
+            raise ValueError("rabitq_ef_boost must be >= 1.0")
+        self.db_shards = int(self.db_shards)
+        if self.db_shards < 1:
+            raise ValueError("db_shards must be >= 1")
+        if self.db_shards > 1:
+            ok = (self.index_type is IndexType.FLAT
+                  or self.quantization_type is QuantizationType.BSQ8)
+            if not ok:
+                raise ValueError(
+                    "db_shards > 1 supports flat indices and block (bsq8) "
+                    "graphs; other graph types replicate per chip "
+                    "(dp_sharded_beam_search)")
         if self.flat_mode not in ("fast", "exact"):
             raise ValueError(f"invalid flat_mode {self.flat_mode!r}")
 
@@ -182,6 +223,8 @@ class IndexParams:
             "beam_expand": self.beam_expand,
             "search_iters": self.search_iters,
             "seed_sample": self.seed_sample,
+            "rabitq_ef_boost": self.rabitq_ef_boost,
+            "db_shards": self.db_shards,
             "rotator": self.rotator,
             "compaction_threshold": self.compaction_threshold,
             "flat_mode": self.flat_mode,

@@ -67,8 +67,8 @@ class BQGSpace:
     def create(capacity: int, dim: int, metric: str = "l2",
                degree: int = 32) -> "BQGSpace":
         metric = metric.lower()
-        if metric not in ("l2", "cos"):
-            raise ValueError("bqg supports l2/cos metrics")
+        if metric not in ("l2", "cos", "ip"):
+            raise ValueError("bqg supports l2/cos/ip metrics")
         cdim = -(-dim // 128) * 128
         return BQGSpace(
             data=jnp.zeros((capacity, dim), dtype=jnp.float32),
@@ -81,7 +81,11 @@ class BQGSpace:
             nbr_xsq=jnp.zeros((capacity, degree), dtype=jnp.float32),
             valid=jnp.zeros((capacity,), dtype=bool),
             num=jnp.zeros((), dtype=jnp.int32),
-            metric="l2",
+            # cos = normalize-then-L2 (order-equivalent); ip is its own path:
+            # the estimator factorization keeps the same shape with the dot
+            # coefficient 1 instead of 2 and |x̂|² stored as 0
+            # (reference: include/simd/distance_ip.hpp:50-170 sign rule)
+            metric="ip" if metric == "ip" else "l2",
             user_metric=metric,
         )
 
@@ -126,7 +130,8 @@ class BQGSpace:
             start = min(lo, n - chunk)
             codes, xsq = _encode_block_into(
                 codes, xsq, self.data, self.dmin, self.scale, nbrs_dev,
-                jnp.asarray(start, jnp.int32), chunk=chunk)
+                jnp.asarray(start, jnp.int32), chunk=chunk,
+                store_sq=self.metric == "l2")
         return self.replace(nbr_ids=nbrs_dev, nbr_codes=codes, nbr_xsq=xsq)
 
     def insert_raw(self, vectors: jax.Array) -> Tuple["BQGSpace", jax.Array]:
@@ -167,15 +172,26 @@ class BQGSpace:
             rows = jnp.pad(rows, ((0, 0), (0, r - rows.shape[1])),
                            constant_values=-1)
         rows = rows[:, :r]
-        codes, xsq = _encode_block(self.data, self.dmin, self.scale, rows)
+        codes, xsq = _encode_block(self.data, self.dmin, self.scale, rows,
+                                   store_sq=self.metric == "l2")
         return self.replace(
             nbr_ids=self.nbr_ids.at[ids].set(rows),
             nbr_codes=self.nbr_codes.at[ids].set(codes),
             nbr_xsq=self.nbr_xsq.at[ids].set(xsq))
 
     # ---- query-side (block-search protocol) ----
+    @property
+    def _dot_coef(self) -> float:
+        # l2: d² = qconst − 2·(q∘s)·c_centered + |x̂|²; ip: −q·x̂ =
+        # qconst − (q∘s)·c_centered (with |x̂|² stored as 0)
+        return 2.0 if self.metric == "l2" else 1.0
+
+    def _clamp(self, est: jax.Array) -> jax.Array:
+        return jnp.maximum(est, 0.0) if self.metric == "l2" else est
+
     def query_ctx(self, q: jax.Array):
-        """Per-batch precompute: (q, q∘scale bf16, |q|² − 2·q·(m + 128 s)).
+        """Per-batch precompute: (q, q∘scale bf16, qconst) where qconst is
+        |q|² − 2·q·(m + 128 s) for L2 and −q·(m + 128 s) for IP.
 
         Codes are centered at 128 in estimate_for (bf16 cancellation — see
         SQSpace.gather_dists), so the 128·s offset folds in here."""
@@ -184,20 +200,24 @@ class BQGSpace:
         if pad:
             qs = jnp.pad(qs, ((0, 0), (0, pad)))  # pads face code byte 128
         shift = self.dmin[None, :] + 128.0 * self.scale[None, :]
-        qconst = (jnp.sum(q * q, axis=-1)
-                  - 2.0 * jnp.sum(q * shift, axis=-1))
+        if self.metric == "ip":
+            qconst = -jnp.sum(q * shift, axis=-1)
+        else:
+            qconst = (jnp.sum(q * q, axis=-1)
+                      - 2.0 * jnp.sum(q * shift, axis=-1))
         return (q, qs, qconst)
 
     def estimate_for(self, ctx, u: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        """Estimated d² to the R neighbors of popped nodes u [B]."""
+        """Estimated d² (L2) / −q·x̂ (IP) to the R neighbors of popped
+        nodes u [B]."""
         q, qs, qconst = ctx
         safe = jnp.clip(u, 0, self.capacity - 1)
         codes = self.nbr_codes[safe]                       # [B, R, Dp] u8
         cf = (codes.astype(jnp.int16) - 128).astype(jnp.bfloat16)
         dot = jnp.einsum("brd,bd->br", cf, qs,
                          preferred_element_type=jnp.float32)
-        est = qconst[:, None] - 2.0 * dot + self.nbr_xsq[safe]
-        return jnp.maximum(est, 0.0), self.nbr_ids[safe]
+        est = qconst[:, None] - self._dot_coef * dot + self.nbr_xsq[safe]
+        return self._clamp(est), self.nbr_ids[safe]
 
     def estimate_many(self, ctx, u: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """Estimated d² to the neighbors of ALL popped nodes u [B, M] in one
@@ -213,9 +233,9 @@ class BQGSpace:
         codes = self.nbr_codes[safe].reshape(B, M * self.degree,
                                              self.code_dim)
         dot = block_diagdot(codes, qs)
-        est = (qconst[:, None] - 2.0 * dot
+        est = (qconst[:, None] - self._dot_coef * dot
                + self.nbr_xsq[safe].reshape(B, M * self.degree))
-        return (jnp.maximum(est, 0.0),
+        return (self._clamp(est),
                 self.nbr_ids[safe].reshape(B, M * self.degree))
 
     def gather_dists(self, q: jax.Array, ids: jax.Array) -> jax.Array:
@@ -224,6 +244,8 @@ class BQGSpace:
         vecs = self.data[safe]
         dot = jnp.einsum("bkd,bd->bk", vecs, q,
                          preferred_element_type=jnp.float32)
+        if self.metric == "ip":
+            return -dot
         q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
         return jnp.maximum(q_sq + self.sq_norms[safe] - 2.0 * dot, 0.0)
 
@@ -267,17 +289,22 @@ class BQGSpace:
         )
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("chunk",))
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("chunk", "store_sq"))
 def _encode_block_into(codes_buf, xsq_buf, data: jax.Array, dmin: jax.Array,
-                       scale: jax.Array, nbrs_dev: jax.Array, lo, chunk: int):
+                       scale: jax.Array, nbrs_dev: jax.Array, lo, chunk: int,
+                       store_sq: bool = True):
     """SQ8-encode one chunk's neighbor blocks directly into the donated
-    device buffers (in-place via donation — no 4 GB copies)."""
+    device buffers (in-place via donation — no 4 GB copies). ``store_sq``
+    False (IP metric) stores 0 for valid slots — the estimator adds xsq
+    unconditionally, so invalid pads still poison to inf."""
     nbrs = jax.lax.dynamic_slice_in_dim(nbrs_dev, lo, chunk)
     ok = nbrs >= 0
     vecs = data[jnp.where(ok, nbrs, 0)]                    # [C, R, D]
     c = jnp.clip(jnp.round((vecs - dmin) / scale), 0, 255)
     xhat = c * scale + dmin
-    xsq = jnp.where(ok, jnp.sum(xhat * xhat, axis=-1), jnp.inf)
+    val = jnp.sum(xhat * xhat, axis=-1) if store_sq else 0.0
+    xsq = jnp.where(ok, val, jnp.inf)
     pad = codes_buf.shape[2] - c.shape[2]
     if pad:
         c = jnp.pad(c, ((0, 0), (0, 0), (0, pad)), constant_values=128)
@@ -287,16 +314,18 @@ def _encode_block_into(codes_buf, xsq_buf, data: jax.Array, dmin: jax.Array,
     return codes_buf, xsq_buf
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("store_sq",))
 def _encode_block(data: jax.Array, dmin: jax.Array, scale: jax.Array,
-                  nbrs: jax.Array):
+                  nbrs: jax.Array, store_sq: bool = True):
     """SQ8-encode neighbor vectors: [C, R] ids → (codes u8 [C, R, Dp],
-    |x̂|²); codes padded to the lane multiple with the center byte."""
+    |x̂|² — or 0 when ``store_sq`` is False, the IP path); codes padded to
+    the lane multiple with the center byte."""
     ok = nbrs >= 0
     vecs = data[jnp.where(ok, nbrs, 0)]                    # [C, R, D]
     c = jnp.clip(jnp.round((vecs - dmin) / scale), 0, 255)
     xhat = c * scale + dmin
-    xsq = jnp.where(ok, jnp.sum(xhat * xhat, axis=-1), jnp.inf)
+    val = jnp.sum(xhat * xhat, axis=-1) if store_sq else 0.0
+    xsq = jnp.where(ok, val, jnp.inf)
     pad = -(-c.shape[2] // 128) * 128 - c.shape[2]
     if pad:
         c = jnp.pad(c, ((0, 0), (0, 0), (0, pad)), constant_values=128)

@@ -133,8 +133,12 @@ class RaBitQSpace:
                bits: int = 1) -> "RaBitQSpace":
         metric = metric.lower()
         if metric not in ("l2", "cos"):
-            # the estimator is an L2 construction; cos := normalize-then-L2
-            raise ValueError("rabitq supports l2/cos metrics")
+            # the estimator is an L2 residual construction
+            # (rabitq_space.hpp:294-313); cos := normalize-then-L2. IP has
+            # no such factorization at 1 bit — use bsq8 for ip (its SQ8
+            # estimator carries IP with a sign change).
+            raise ValueError("rabitq supports l2/cos metrics; "
+                             "use quantization_type='bsq8' for ip")
         dpad = -(-dim // 8) * 8
         if dpad != dim:
             raise ValueError("rabitq requires dim to be a multiple of 8")

@@ -103,7 +103,20 @@ def main() -> None:
 
     _last_idx = [None]
 
-    def measure(name, params, efs):
+    # the measured baseline's own operating point (results/
+    # reference_baseline.json: ef=48 → recall 0.9730). The ef ladder runs
+    # until it crosses this so a chip rate exists at MATCHED recall, not
+    # just at the 0.95 floor (round-2 verdict: the operating points did
+    # not line up).
+    matched_recall = 0.973
+
+    def iters_for(ef, m):
+        # per-ef hop budget: the 3-hop schedule is tuned for ef=24 on the
+        # scan-seeded graph; wider pools need proportionally more hops to
+        # actually fill (recall saturates ~ef/M + a couple of hops)
+        return max(3, ef // m)
+
+    def measure(name, params, efs, per_ef_iters=False):
         import jax.numpy as jnp
 
         idx = Index(name, params)
@@ -114,6 +127,9 @@ def main() -> None:
         q_dev = jnp.asarray(ds.queries)  # device-resident variant
         rows = []
         for ef in efs:
+            if per_ef_iters:
+                idx._engine.params.search_iters = iters_for(
+                    ef, params.beam_expand)
             ids = idx.batch_search(ds.queries, topk, ef_search=ef)
             rec = calc_recall(ids, gt)
             idx.batch_search(ds.queries, topk, ef_search=ef)  # warm
@@ -135,7 +151,7 @@ def main() -> None:
                          "build_s": round(build_s, 1)})
             log(f"{name} ef={ef}: recall@10={rec:.4f} qps={qps:,.0f} "
                 f"qps_dev={qps_dev:,.0f} build={build_s:.1f}s")
-            if rec >= 0.95 and name != "flat_fast":
+            if rec >= matched_recall and name != "flat_fast":
                 break
         return rows
 
@@ -221,21 +237,21 @@ def main() -> None:
         log(f"chip-rate measurement failed: {e}")
     graph_rows = []
     if os.environ.get("ALAYA_BENCH_GRAPH", "1") == "1" and not small:
-        # tuned operating point: 3 hops from seed-scanned entries, M=8 —
-        # scan-seeded BUILD pools raised graph quality enough to drop a hop
-        # (results/sweep_hop_sched.json + scripts/proto_seedscan.py:
-        # ef=24/it=3 -> recall 0.9567 at 514k chip QPS on the r2 graph)
-        iters, m = 3, 8
+        # operating points: 3 hops at ef=24 (the tuned 0.95-floor config,
+        # results/sweep_hop_sched.json + scripts/proto_seedscan.py), hop
+        # budget scaling with ef so the ladder genuinely reaches the
+        # matched 0.973 point instead of hop-capping below it
+        m = 8
         graph_rows = measure("bsq8_graph",
                              IndexParams(index_type="hnsw", capacity=n,
                                          max_nbrs=32, ef_construction=200,
                                          quantization_type="bsq8",
-                                         search_iters=iters, beam_expand=m),
-                             [24, 32, 48, 96])
+                                         search_iters=3, beam_expand=m),
+                             [24, 32, 48, 64, 96], per_ef_iters=True)
         for r in graph_rows:
             try:
                 r["qps_chip"] = round(chip_rate_graph(
-                    _last_idx[0], r["ef"], iters, m), 1)
+                    _last_idx[0], r["ef"], iters_for(r["ef"], m), m), 1)
                 log(f"bsq8 ef={r['ef']} chip QPS {r['qps_chip']:,.0f}")
             except Exception as e:
                 log(f"graph chip-rate failed: {e}")
@@ -249,18 +265,29 @@ def main() -> None:
     # test harness's TPU tunnel (~35 ms dispatch + 20-50 MB/s host link,
     # scripts/io_probe.py), which a real TPU VM host does not have.
     pick = graph_rows or rows
-    ok = [r for r in pick if r["recall"] >= 0.95 and "qps_chip" in r]
-    best = max(ok, key=lambda r: r["qps_chip"]) if ok else \
-        max(pick, key=lambda r: r["recall"])
-    value = best.get("qps_chip", 0.0) if best["recall"] >= 0.95 else 0.0
+    ok95 = [r for r in pick if r["recall"] >= 0.95 and "qps_chip" in r]
+    okm = [r for r in pick
+           if r["recall"] >= matched_recall and "qps_chip" in r]
+    best95 = (max(ok95, key=lambda r: r["qps_chip"]) if ok95
+              else max(pick, key=lambda r: r["recall"]))
+    bestm = max(okm, key=lambda r: r["qps_chip"]) if okm else None
+    # headline at the MATCHED recall point (the baseline was measured at
+    # 0.973) when the ladder reached it; the 0.95-floor row stays in detail
+    best = bestm if bestm is not None else best95
+    thresh = matched_recall if bestm is not None else 0.95
+    value = best.get("qps_chip", 0.0) if best["recall"] >= thresh else 0.0
     out = {
-        "metric": f"graph_chip_qps@recall10>=0.95_{dataset_name}",
+        "metric": f"graph_chip_qps@recall10>={thresh}_{dataset_name}",
         "value": round(value, 1),
         "unit": "qps",
         "vs_baseline": round(value / BASELINE_QPS, 4),
         "detail": {
             "n": n, "dim": dim, "nq": nq,
             "best": best,
+            "best_at_095": best95,
+            "vs_baseline_at_095": round(
+                best95.get("qps_chip", 0.0) / BASELINE_QPS, 4),
+            "baseline_recall_point": matched_recall,
             "rows": rows,
             "total_s": round(time.time() - t_start, 1),
             "platform": jax.devices()[0].platform,

@@ -54,3 +54,14 @@ for b in range(4):
     idx.remove(doomed[b * BATCH: (b + 1) * BATCH])
 dt = time.time() - t0
 print(f"remove steady: {4*BATCH/dt:,.0f} vec/s", flush=True)
+
+# compaction wall-clock: 20% tombstones at 100k (round-2 verdict target:
+# < 5 s host time with the vectorized rewire_candidates)
+eng = idx._engine
+eng.params.compaction_threshold = 0.0  # manual
+more = rng.choice(N, size=int(0.2 * N) - 4 * BATCH, replace=False)
+more = np.setdiff1d(more, doomed).astype(np.int32)
+idx.remove(more)
+t0 = time.time()
+eng.compact()
+print(f"compact 20% of {N}: {time.time()-t0:.1f}s", flush=True)

@@ -9,7 +9,9 @@ from alayalite_tpu import Index, IndexParams
 from alayalite_tpu.utils.datasets import random_dataset
 from alayalite_tpu.utils.evaluate import calc_gt, calc_recall
 
-n, dim, nq = 1_000_000, 128, 4096
+n = int(os.environ.get("ALAYA_SCALE_N", "1000000"))
+dim = int(os.environ.get("ALAYA_SCALE_DIM", "128"))   # 960 = GIST-960 shape
+nq = int(os.environ.get("ALAYA_SCALE_Q", "4096"))
 t0=time.time()
 ds = random_dataset(n=n, dim=dim, n_queries=nq, seed=42, clusters=500)
 print(f"# data gen {time.time()-t0:.0f}s", flush=True)

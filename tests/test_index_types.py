@@ -52,6 +52,64 @@ def test_metrics(metric):
     assert rec >= 0.8, f"{metric} recall {rec}"
 
 
+@pytest.mark.parametrize("metric", ["ip", "cos"])
+def test_block_quantized_metrics(metric):
+    """IP/COS through the flagship block (bsq8) path: the SQ8 estimator
+    carries IP with the dot coefficient 1 and |x̂|² dropped (reference
+    serves every space through distance_ip.hpp:50-170)."""
+    ds = random_dataset(n=N, dim=DIM, n_queries=NQ, seed=5, topk=K,
+                        metric=metric)
+    idx, rec = _fit_and_recall(ds, index_type="hnsw", max_nbrs=16,
+                               ef_construction=64, metric=metric,
+                               quantization_type="bsq8")
+    assert rec >= 0.8, f"bsq8 {metric} recall {rec}"
+
+
+def test_bsq8_ip_estimate_matches_exact_decode():
+    """The IP block estimate must equal −q·x̂ of the decoded codes (the
+    estimator is exact given x̂, up to bf16 rounding)."""
+    from alayalite_tpu.spaces.bqg import BQGSpace
+
+    rng = np.random.default_rng(7)
+    data = rng.normal(size=(64, 24)).astype(np.float32)
+    sp = BQGSpace.create(64, 24, metric="ip", degree=8).fit(data)
+    rows = rng.integers(0, 64, size=(64, 8)).astype(np.int32)
+    sp = sp.set_neighbor_rows(np.arange(64, dtype=np.int32), rows)
+    q = rng.normal(size=(4, 24)).astype(np.float32)
+    ctx = sp.query_ctx(sp.prep_query(q))
+    u = np.array([0, 5, 9, 33], dtype=np.int32)
+    est, ids = sp.estimate_for(ctx, u)
+    # decode x̂ from the stored grid and compare
+    dmin, scale = np.asarray(sp.dmin), np.asarray(sp.scale)
+    codes = np.asarray(sp.nbr_codes)[u][:, :, :24].astype(np.float32)
+    xhat = codes * scale + dmin
+    want = -np.einsum("brd,bd->br", xhat, q)
+    np.testing.assert_allclose(np.asarray(est), want, rtol=0.02, atol=0.05)
+
+
+def test_id_type_honored_or_loud(ds):
+    """64-bit id types return 64-bit ids; capacity beyond the int32 device
+    id range fails loudly instead of overflowing (reference instantiates
+    u64 ids for that — dispatch.hpp:25-175; on TPU that scale must shard)."""
+    idx = Index("i64", IndexParams(index_type="flat", capacity=N + 8,
+                                   id_type="uint64"))
+    idx.fit(ds.data)
+    ids, _ = idx.batch_search_with_distance(ds.queries[:4], 5, ef_search=5)
+    assert np.asarray(ids).dtype == np.int64
+    new = idx.insert(np.zeros(DIM, np.float32))
+    assert np.asarray(new).dtype == np.int64
+    with pytest.raises(ValueError, match="int32"):
+        IndexParams(capacity=2**31)
+
+
+def test_rabitq_ip_rejected_loudly():
+    """RaBitQ's 1-bit estimator is an L2 construction; IP points to bsq8."""
+    from alayalite_tpu.spaces.rabitq import RaBitQSpace
+
+    with pytest.raises(ValueError, match="bsq8"):
+        RaBitQSpace.create(100, 16, metric="ip")
+
+
 def test_single_search_and_get_data(ds):
     idx = Index("t", IndexParams(index_type="flat", capacity=N))
     idx.fit(ds.data)

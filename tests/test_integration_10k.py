@@ -31,6 +31,29 @@ def test_hnsw_10k_recall_floor(ds):
     assert rec >= 0.92, f"hnsw 10k recall {rec}"
 
 
+def test_gist960_shaped_build_and_search():
+    """GIST-960 shape at CI size (round-2 verdict #1: nothing at D=960 had
+    ever been built or searched): 2k x 960-d clustered, bsq8 build + search
+    recall floor. The full-scale counterpart runs in scripts/scale1m.py
+    with ALAYA_SCALE_DIM=960 (BASELINE.md north star)."""
+    n, dim = 2000, 960
+    d = random_dataset(n=n, dim=dim, n_queries=32, seed=23, clusters=32)
+    gt = calc_gt(d.data, d.queries, TOPK)
+    idx = Index("g960", IndexParams(index_type="hnsw", capacity=n,
+                                    max_nbrs=16, ef_construction=64,
+                                    quantization_type="bsq8"))
+    idx.fit(d.data)
+    ids = idx.batch_search(d.queries, TOPK, ef_search=64)
+    rec = calc_recall(ids, gt)
+    assert rec >= 0.88, f"bsq8 960-d recall {rec}"
+    # flat fast path at 960-d too (bf16 coarse + rerank)
+    fl = Index("g960f", IndexParams(index_type="flat", capacity=n,
+                                    flat_mode="fast"))
+    fl.fit(d.data)
+    ids_f = fl.batch_search(d.queries, TOPK, ef_search=TOPK)
+    assert calc_recall(ids_f, gt) >= 0.99
+
+
 def test_bsq8_10k_recall_floor(ds):
     d, gt = ds
     idx = Index("b10k", IndexParams(index_type="hnsw", capacity=N,

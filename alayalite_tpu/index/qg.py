@@ -126,10 +126,26 @@ class QGBuilder:
                     # scan-seeded beams start 2-4 hops closer; 12 hops match
                     # 29-hop-from-medoid pool quality (scripts/ab_pool_scan.py)
                     pool_iters = 12
+            pool_iters = int(os.environ.get("ALAYA_POOL_ITERS",
+                                            pool_iters))
+            knn_seed = int(os.environ.get("ALAYA_POOL_KNNSEED", "0"))
+            pool_space = raw_space
+            if os.environ.get("ALAYA_POOL_BF16", "1") == "1":
+                # traversal-only bf16 copy (default ON): pool distances
+                # only order candidates for the prune, which re-scores
+                # pairs in f32. Measured (v5e 100k, /tmp/ab_bf16.py,
+                # 2026-08-17): recall UNCHANGED (+0.001) and the pools
+                # phase halves — the f32 gather+einsum was the cost.
+                pool_space = raw_space.replace(
+                    data=raw_space.data.astype(jnp.bfloat16), bf16=True)
+            # pool width caps at 128: ef=128 pools measured ≥ ef=200 pools
+            # on the scan-seeded graph (same A/B; narrower merge, same
+            # recall) — wider pools only pad the per-hop sort
+            pool_ef = min(self.ef, 128)
             pool_d, pool_i = search_pool_dev(
-                raw_space, knn_i, np.array([ep]), ef=self.ef, n=n,
+                pool_space, knn_i, np.array([ep]), ef=pool_ef, n=n,
                 chunk=self.chunk, seed=self.seed, max_iters=pool_iters,
-                seed_sample=sample)
+                seed_sample=sample, knn_seed=knn_seed)
         cand_i = jnp.concatenate([pool_i, knn_i], axis=1)
         cand_d = jnp.concatenate([pool_d, knn_d], axis=1)
         sync(cand_i)

@@ -286,6 +286,13 @@ class ShardedEngine:
                 self.shards[s].remove(loc.astype(np.int32))
         self._leaves = None
 
+    def compact(self) -> None:
+        """Rewire every shard around its accumulated tombstones."""
+        self._require_fitted()
+        for sh in self.shards:
+            sh.compact()
+        self._leaves = None
+
     def get_data_by_id(self, id_: int) -> np.ndarray:
         self._require_fitted()
         s, l = int(self._g2s[int(id_)]), int(self._g2l[int(id_)])

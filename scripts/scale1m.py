@@ -36,5 +36,9 @@ if "flat" in only:
     bench("flat_fast", dict(index_type="flat", flat_mode="fast"), [10])
 if "bsq8" in only:
     bench("bsq8", dict(index_type="hnsw", quantization_type="bsq8"), [32, 64, 128])
+if "sq8" in only:
+    # high-dim config: thin-row SQ8 graph (block layouts duplicate each
+    # 960-B code R times and blow HBM at D=960)
+    bench("hnsw_sq8", dict(index_type="hnsw", quantization_type="sq8"), [32, 64, 128])
 if "hnsw" in only:
     bench("hnsw_f32", dict(index_type="hnsw"), [32, 64])

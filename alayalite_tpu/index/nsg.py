@@ -53,17 +53,22 @@ def _components_of(nbrs: np.ndarray, members: np.ndarray) -> np.ndarray:
     repair typically sees ~19k singleton components)."""
     members = np.asarray(members, dtype=np.int64)
     try:
-        from scipy.sparse import coo_matrix
+        from scipy.sparse import csr_matrix
         from scipy.sparse.csgraph import connected_components
     except Exception:
         return _components_of_bfs(nbrs, members)
-    local = np.full(nbrs.shape[0], -1, dtype=np.int64)
-    local[members] = np.arange(members.size)
-    src = np.repeat(members, nbrs.shape[1])
-    dst = nbrs[members].reshape(-1).astype(np.int64)
-    keep = (dst >= 0) & (local[np.clip(dst, 0, None)] >= 0)
-    u, v = local[src[keep]], local[dst[keep]]
-    m = coo_matrix((np.ones(u.size, np.int8), (u, v)),
+    local = np.full(nbrs.shape[0], -1, dtype=np.int32)
+    local[members] = np.arange(members.size, dtype=np.int32)
+    # CSR built directly from the dense [m, R] rows — the edges are
+    # already row-major, so no coo lexsort (which cost ~60 s on 29M
+    # edges at 1M: the round-0 components call dominated repair)
+    rows = local[np.clip(nbrs[members], 0, None)]
+    valid = (nbrs[members] >= 0) & (rows >= 0)
+    counts = valid.sum(axis=1)
+    indptr = np.zeros(members.size + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    indices = rows[valid].astype(np.int32)
+    m = csr_matrix((np.ones(indices.size, np.int8), indices, indptr),
                    shape=(members.size, members.size))
     _, labels = connected_components(m, directed=False)
     first = np.unique(labels, return_index=True)[1]
@@ -90,37 +95,21 @@ def _components_of_bfs(nbrs: np.ndarray, members: np.ndarray) -> np.ndarray:
     return np.asarray(reps, dtype=np.int32)
 
 
-def _reached_from(nbrs: np.ndarray, ep: int) -> np.ndarray:
-    """Directed reachability from ``ep`` as a bool mask. scipy's C BFS when
-    available (one O(E) pass — the per-level numpy frontier loop paid
-    ~python-per-level on deep locality-first graphs at 1M); numpy fallback
-    otherwise."""
-    n = nbrs.shape[0]
-    try:
-        from scipy.sparse import csr_matrix
-        from scipy.sparse.csgraph import breadth_first_order
-    except Exception:
-        reached = np.zeros(n, dtype=bool)
-        frontier = np.array([ep], dtype=np.int32)
-        reached[ep] = True
-        while frontier.size:
-            nxt = nbrs[frontier].reshape(-1)
-            nxt = nxt[nxt >= 0]
-            nxt = np.unique(nxt)
-            nxt = nxt[~reached[nxt]]
-            reached[nxt] = True
-            frontier = nxt
-        return reached
-    src = np.repeat(np.arange(n, dtype=np.int64), nbrs.shape[1])
-    dst = nbrs.reshape(-1).astype(np.int64)
-    keep = dst >= 0
-    m = csr_matrix((np.ones(int(keep.sum()), np.int8),
-                    (src[keep], dst[keep])), shape=(n, n))
-    order = breadth_first_order(m, ep, directed=True,
-                                return_predecessors=False)
-    reached = np.zeros(n, dtype=bool)
-    reached[order] = True
-    return reached
+def _expand_reached(nbrs: np.ndarray, reached: np.ndarray,
+                    frontier: np.ndarray) -> None:
+    """Grow ``reached`` in place by numpy frontier BFS from ``frontier``.
+    (A scipy csr BFS was measured SLOWER at 1M: the coo→csr construction
+    lexsorts 32M edges per call on this one-core host, ~30 s/round vs the
+    frontier loop's ~12 s full pass — negative result, 2026-08-17.)"""
+    frontier = frontier[~reached[frontier]]
+    reached[frontier] = True
+    while frontier.size:
+        nxt = nbrs[frontier].reshape(-1)
+        nxt = nxt[nxt >= 0]
+        nxt = np.unique(nxt)
+        nxt = nxt[~reached[nxt]]
+        reached[nxt] = True
+        frontier = nxt
 
 
 def _attach_unreached(space, nbrs: np.ndarray, ep: int, ef: int,
@@ -129,17 +118,33 @@ def _attach_unreached(space, nbrs: np.ndarray, ep: int, ef: int,
     nsg_builder.hpp:500-628): BFS from ep, then add ONE edge per unreached
     *component* — from the component representative's nearest reached node —
     so each round strictly shrinks the unreached set (per-node attachment
-    oscillates: full rows get their repair edges clobbered by later ones)."""
+    oscillates: full rows get their repair edges clobbered by later ones).
+
+    Reachability is maintained INCREMENTALLY: one full BFS up front, then
+    each round only expands from the components it just attached (edges are
+    only ever added, so the reached set only grows). Slot-rotation can in
+    principle clobber a previous round's repair edge, so a full BFS
+    re-verifies before accepting convergence."""
     n = nbrs.shape[0]
+    reached = np.zeros(n, dtype=bool)
+    _expand_reached(nbrs, reached, np.array([ep], dtype=np.int64))
+    verified = True
     for _round in range(24):
-        reached = _reached_from(nbrs, ep)
         missing = np.nonzero(~reached)[0]
         # residual unreachable below 0.02% is noise next to quantization
         # and beam-truncation effects; stop burning repair rounds on it
         if missing.size <= max(0, int(2e-4 * n)) and _round > 0:
-            break
+            if verified:
+                break
+            # incremental state can be optimistic (slot rotation may have
+            # clobbered an earlier repair edge) — re-verify with a full BFS
+            reached = np.zeros(n, dtype=bool)
+            _expand_reached(nbrs, reached, np.array([ep], dtype=np.int64))
+            verified = True
+            continue
         if missing.size == 0:
             break
+        verified = False
         reps = _components_of(nbrs, missing)
         log.info("attach round %d: %d unreached in %d components",
                  _round, missing.size, reps.size)
@@ -148,11 +153,18 @@ def _attach_unreached(space, nbrs: np.ndarray, ep: int, ef: int,
         from ..ops.distance import exact_topk
 
         data = space.data[:n].astype(jnp.float32)
-        qs = data[jnp.asarray(reps, dtype=jnp.int32)]
+        # reps padded to a shape bucket: exact_topk jits per query count,
+        # and component counts differ every round AND every build — fresh
+        # shapes meant a ~30-60 s tunnel recompile per repair round
+        rb = max(256, -(-reps.size // 1024) * 1024)
+        reps_pad = np.full(rb, reps[0], dtype=np.int32)
+        reps_pad[: reps.size] = reps
+        qs = data[jnp.asarray(reps_pad)]
         _, near = exact_topk(qs, data, 1, metric=space.metric,
                              valid=reached.copy())
-        srcs = near[:, 0]
+        srcs = near[: reps.size, 0]
         used: dict = {}
+        attached = []
         for u, v in zip(reps.tolist(), srcs.tolist()):
             if v < 0:
                 continue
@@ -166,6 +178,12 @@ def _attach_unreached(space, nbrs: np.ndarray, ep: int, ef: int,
                 slot = used.get(v, 0)
                 used[v] = slot + 1
                 nbrs[v, -1 - (slot % nbrs.shape[1])] = u
+            attached.append(u)
+        if attached:
+            # newly attached components are reachable now; expand only
+            # through the (shrinking) unreached region
+            _expand_reached(nbrs, reached,
+                            np.asarray(attached, dtype=np.int64))
     return nbrs
 
 

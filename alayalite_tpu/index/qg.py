@@ -142,9 +142,10 @@ class QGBuilder:
             # on the scan-seeded graph (same A/B; narrower merge, same
             # recall) — wider pools only pad the per-hop sort
             pool_ef = min(self.ef, 128)
+            pool_chunk = int(os.environ.get("ALAYA_POOL_CHUNK", self.chunk))
             pool_d, pool_i = search_pool_dev(
                 pool_space, knn_i, np.array([ep]), ef=pool_ef, n=n,
-                chunk=self.chunk, seed=self.seed, max_iters=pool_iters,
+                chunk=pool_chunk, seed=self.seed, max_iters=pool_iters,
                 seed_sample=sample, knn_seed=knn_seed)
         cand_i = jnp.concatenate([pool_i, knn_i], axis=1)
         cand_d = jnp.concatenate([pool_d, knn_d], axis=1)

@@ -16,7 +16,12 @@ t0=time.time()
 ds = random_dataset(n=n, dim=dim, n_queries=nq, seed=42, clusters=500)
 print(f"# data gen {time.time()-t0:.0f}s", flush=True)
 t0=time.time()
-gt = calc_gt(ds.data, ds.queries, 10, fast=True)
+_gt_cache = f"/tmp/alaya_s1m_gt_{n}_{dim}_{nq}.npy"
+if os.path.exists(_gt_cache):
+    gt = np.load(_gt_cache)
+else:
+    gt = calc_gt(ds.data, ds.queries, 10, fast=True)
+    np.save(_gt_cache, np.asarray(gt))
 print(f"# gt {time.time()-t0:.0f}s", flush=True)
 
 def bench(name, kw, efs):

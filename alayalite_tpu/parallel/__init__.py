@@ -1,3 +1,10 @@
+from .multihost import (
+    fit_shards_from_file,
+    load_vecs_global,
+    load_vecs_rows,
+    maybe_distributed_init,
+    probe_vecs,
+)
 from .sharded import (
     ShardedBlockIndex,
     ShardedFlatIndex,
@@ -10,6 +17,11 @@ from .sharded import (
 )
 
 __all__ = [
+    "fit_shards_from_file",
+    "load_vecs_global",
+    "load_vecs_rows",
+    "maybe_distributed_init",
+    "probe_vecs",
     "ShardedBlockIndex",
     "ShardedFlatIndex",
     "ShardedGraphIndex",

@@ -64,10 +64,19 @@ class Graph:
     def from_numpy(nbrs: np.ndarray, eps: np.ndarray,
                    overlay: Tuple[OverlayLevel, ...] = (),
                    capacity: Optional[int] = None) -> "Graph":
-        nbrs = np.asarray(nbrs, dtype=np.int32)
-        if capacity is not None and capacity > nbrs.shape[0]:
-            pad = np.full((capacity - nbrs.shape[0], nbrs.shape[1]), -1, np.int32)
-            nbrs = np.concatenate([nbrs, pad], axis=0)
+        if isinstance(nbrs, jax.Array):
+            # device-resident adjacency (e.g. from repair_connectivity_dev)
+            # is padded on device — no host roundtrip
+            nbrs = nbrs.astype(jnp.int32)
+            if capacity is not None and capacity > nbrs.shape[0]:
+                nbrs = jnp.pad(nbrs, ((0, capacity - nbrs.shape[0]), (0, 0)),
+                               constant_values=-1)
+        else:
+            nbrs = np.asarray(nbrs, dtype=np.int32)
+            if capacity is not None and capacity > nbrs.shape[0]:
+                pad = np.full((capacity - nbrs.shape[0], nbrs.shape[1]), -1,
+                              np.int32)
+                nbrs = np.concatenate([nbrs, pad], axis=0)
         return Graph(nbrs=jnp.asarray(nbrs), eps=jnp.asarray(np.asarray(eps, np.int32)),
                      overlay=overlay)
 

@@ -167,10 +167,23 @@ class QGBuilder:
         sync(nbrs_dev)
         log.info("qg: prune+reverse+fill %.1fs", time.time() - t0)
 
-        nbrs = np.array(nbrs_dev)  # blocks on all queued device phases too
-        log.info("qg: device sync + adjacency download %.1fs", time.time() - t0)
-        nbrs = _attach_unreached(raw_space, nbrs, ep, ef=self.ef,
-                                 chunk=self.chunk)
+        use_dev_repair = os.environ.get(
+            "ALAYA_REPAIR", "device" if n > 200_000 else "host") == "device"
+        if use_dev_repair:
+            # adjacency stays device-resident end to end: repair, block
+            # re-quantization, and Graph construction all consume the
+            # device array — no ~N·R·4-byte download (128 MB at 1M)
+            from .repair_dev import repair_connectivity_dev
+
+            sync(nbrs_dev)
+            log.info("qg: device sync %.1fs", time.time() - t0)
+            nbrs = repair_connectivity_dev(raw_space, nbrs_dev, ep)
+        else:
+            nbrs = np.array(nbrs_dev)  # blocks on queued device phases too
+            log.info("qg: device sync + adjacency download %.1fs",
+                     time.time() - t0)
+            nbrs = _attach_unreached(raw_space, nbrs, ep, ef=self.ef,
+                                     chunk=self.chunk)
         log.info("qg: connectivity repair %.1fs", time.time() - t0)
 
         rabitq_space = rabitq_space.update_neighbors(nbrs, chunk=self.chunk)

@@ -1,0 +1,192 @@
+"""Device-resident connectivity repair (tree_grow/attach_unlinked analog,
+/root/reference/include/index/graph/nsg/nsg_builder.hpp:500-628).
+
+The host repair (nsg._attach_unreached) needs the full adjacency on the
+host — a ~N·R·4-byte download (128 MB at 1M) plus ~10-60 s of numpy BFS
+per build. Here every step runs on device against the resident adjacency:
+
+- reachability : push-BFS under ``lax.while_loop`` — each pass scatters
+  one True per live edge of the frontier into the next mask (32M-index
+  scatter at 1M×32; O(diameter) passes),
+- components   : min-label propagation over the unreached subgraph with
+  pointer jumping (``labels[labels]``), so convergence is ~log(diameter)
+  not diameter,
+- attach       : one repair edge per component — the component
+  representative hooked under its nearest *reached* node (exact MXU
+  scan with the reached mask as validity), slots assigned by per-target
+  rank so edges added in the same round never clobber each other.
+
+The host only ever sees per-round scalars and the ≤REP_CAP representative
+ids; the adjacency itself never leaves the device, which also lets the
+downstream block re-quantization (rabitq.update_neighbors) and Graph
+construction consume the device array directly — no bulk download at all.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+log = logging.getLogger("alayalite_tpu")
+
+REP_CAP = 8192  # components attached per round (rest picked up next round)
+
+
+@jax.jit
+def _expand_reached_dev(nbrs: jax.Array, reached: jax.Array) -> jax.Array:
+    """Grow ``reached`` to the directed-BFS fixpoint along ``nbrs`` rows.
+    Frontier-restricted push: only rows that became reachable last pass
+    scatter their edges (sentinel index n drops everything else)."""
+    n = nbrs.shape[0]
+
+    def body(carry):
+        reached, frontier = carry
+        tgt = jnp.where(frontier[:, None] & (nbrs >= 0), nbrs, n)
+        hit = jnp.zeros(n + 1, jnp.bool_).at[tgt.reshape(-1)].set(True)[:n]
+        new_frontier = hit & ~reached
+        return reached | hit, new_frontier
+
+    reached, _ = lax.while_loop(lambda c: jnp.any(c[1]), body,
+                                (reached, reached))
+    return reached
+
+
+@jax.jit
+def _component_labels_dev(nbrs: jax.Array, mask: jax.Array) -> jax.Array:
+    """Min-label connected components of the subgraph induced by ``mask``
+    (edges undirected, matching nsg._components_of). Returns int32 labels
+    (the smallest member id of each component; n where ~mask)."""
+    n = nbrs.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    # edge i->k valid iff both endpoints are members
+    mask_ext = jnp.concatenate([mask, jnp.zeros(1, jnp.bool_)])
+    safe_nbrs = jnp.where(nbrs >= 0, nbrs, n)
+    edge_ok = mask[:, None] & mask_ext[safe_nbrs]
+    tgt = jnp.where(edge_ok, safe_nbrs, n)
+    labels0 = jnp.where(mask, iota, n)
+
+    def body(carry):
+        labels, _ = carry
+        lab_ext = jnp.concatenate([labels, jnp.array([n], jnp.int32)])
+        # pull along out-edges
+        pulled = jnp.min(jnp.where(edge_ok, lab_ext[tgt], n), axis=1)
+        new = jnp.minimum(labels, pulled.astype(jnp.int32))
+        # push along out-edges (covers the reverse direction)
+        pushed = jnp.full(n + 1, n, jnp.int32).at[tgt.reshape(-1)].min(
+            jnp.broadcast_to(new[:, None], tgt.shape).reshape(-1))[:n]
+        new = jnp.minimum(new, pushed)
+        # pointer jumping: labels point at member nodes, so chase them
+        lab_ext = jnp.concatenate([new, jnp.array([n], jnp.int32)])
+        new = jnp.minimum(new, lab_ext[jnp.where(new < n, new, n)])
+        new = jnp.where(mask, new, n)
+        return new, jnp.any(new != labels)
+
+    labels, _ = lax.while_loop(lambda c: c[1], body,
+                               (labels0, jnp.array(True)))
+    return labels
+
+
+@jax.jit
+def _representatives_dev(labels: jax.Array, mask: jax.Array) -> jax.Array:
+    """Up to REP_CAP component representatives (the node whose id equals
+    its label), padded with n."""
+    n = labels.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    score = jnp.where(mask & (labels == iota), iota, n)
+    neg_top, _ = lax.top_k(-score, min(REP_CAP, n))
+    return -neg_top  # ascending rep ids, padded with n
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _attach_dev(nbrs: jax.Array, reps: jax.Array,
+                srcs: jax.Array) -> jax.Array:
+    """Write edge src→rep for every valid (rep, src) pair. Pairs are
+    grouped by src; the k-th pair of a src takes the row's k-th empty
+    slot, overflowing into rotation from the row's end — the device
+    analog of the host attach's empty-then-rotate policy, with distinct
+    slots per row within a round by construction."""
+    n, r = nbrs.shape
+    k = reps.shape[0]
+    valid = (reps < n) & (srcs >= 0)
+    big = jnp.int32(jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(jnp.where(valid, srcs, big))
+    s = srcs[order]
+    u = reps[order]
+    v = valid[order]
+    idx = jnp.arange(k, dtype=jnp.int32)
+    new_group = jnp.concatenate([jnp.ones(1, jnp.bool_), s[1:] != s[:-1]])
+    group_start = lax.cummax(jnp.where(new_group, idx, 0))
+    rank = idx - group_start
+    s_safe = jnp.where(v, s, 0)
+    rows = nbrs[s_safe]                              # [K, R]
+    is_empty = rows < 0
+    # stable argsort of occupancy: empty slot positions first (in order),
+    # then occupied ones — so the k-th pair of a row takes the k-th empty
+    # and overflow clobbers occupied slots, never an empty another pair of
+    # this round just filled; distinct per row for rank < R
+    perm = jnp.argsort(~is_empty, axis=1, stable=True)
+    slot = perm[idx, rank % r].astype(jnp.int32)
+    return nbrs.at[jnp.where(v, s, n), slot].set(u, mode="drop")
+
+
+def repair_connectivity_dev(space, nbrs: jax.Array, ep: int,
+                            max_rounds: int = 24,
+                            tol: float = 2e-4) -> jax.Array:
+    """Device-resident repair loop; same convergence contract as the host
+    _attach_unreached (residual unreachable ≤ tol·n, verified by a full
+    BFS from scratch since slot rotation can clobber prior repair edges).
+    Only scalars and ≤REP_CAP-id vectors cross the host boundary."""
+    n = nbrs.shape[0]
+    from ..ops.distance import exact_topk
+
+    seed = jnp.zeros(n, jnp.bool_).at[ep].set(True)
+    reached = _expand_reached_dev(nbrs, seed)
+    verified = True
+    for _round in range(max_rounds):
+        missing = int(jnp.sum(~reached))
+        if missing <= max(0, int(tol * n)) and _round > 0:
+            if verified:
+                break
+            reached = _expand_reached_dev(nbrs, seed)
+            verified = True
+            continue
+        if missing == 0:
+            break
+        verified = False
+        mask = ~reached
+        labels = _component_labels_dev(nbrs, mask)
+        reps = _representatives_dev(labels, mask)
+        n_comp = int(jnp.sum(reps < n))
+        log.info("attach round %d (device): %d unreached in %d components",
+                 _round, missing, n_comp)
+        if n_comp == 0:  # isolated only via dropped edges; nothing to hook
+            break
+        data = space.data[:n].astype(jnp.float32)
+        qs = data[jnp.minimum(reps, n - 1)]
+        _, near = exact_topk(qs, data, 1, metric=space.metric, valid=reached)
+        srcs = jnp.asarray(near[:, 0])
+        nbrs = _attach_dev(nbrs, reps, srcs)
+        reached = _expand_reached_dev(nbrs, reached)
+    return nbrs
+
+
+def repair_connectivity(space, nbrs, ep: int, ef: int, chunk: int):
+    """Dispatch: device-resident repair for device adjacency (skips the
+    bulk download entirely), host numpy repair otherwise. ALAYA_REPAIR
+    forces a mode ("device"/"host") for A/Bs."""
+    import os
+
+    import numpy as np
+
+    mode = os.environ.get("ALAYA_REPAIR")
+    if isinstance(nbrs, jax.Array) and mode != "host":
+        return repair_connectivity_dev(space, nbrs, ep)
+    from .nsg import _attach_unreached
+
+    if isinstance(nbrs, jax.Array):
+        nbrs = np.array(nbrs)
+    return _attach_unreached(space, nbrs, ep, ef=ef, chunk=chunk)

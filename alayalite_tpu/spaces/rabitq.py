@@ -191,10 +191,18 @@ class RaBitQSpace:
         Device-resident: bits pack on device (little-endian, matching
         _unpack_bits_jnp) and accumulate into donated buffers."""
         n = int(self.num)
-        nbrs = np.asarray(nbrs[:n, :DEGREE], dtype=np.int32)
-        if nbrs.shape[1] < DEGREE:
-            nbrs = np.pad(nbrs, ((0, 0), (0, DEGREE - nbrs.shape[1])),
-                          constant_values=-1)
+        if isinstance(nbrs, jax.Array):
+            # device-resident adjacency (repair_connectivity_dev output):
+            # slice/pad on device, skip the host roundtrip entirely
+            nbrs = nbrs[:n, :DEGREE].astype(jnp.int32)
+            if nbrs.shape[1] < DEGREE:
+                nbrs = jnp.pad(nbrs, ((0, 0), (0, DEGREE - nbrs.shape[1])),
+                               constant_values=-1)
+        else:
+            nbrs = np.asarray(nbrs[:n, :DEGREE], dtype=np.int32)
+            if nbrs.shape[1] < DEGREE:
+                nbrs = np.pad(nbrs, ((0, 0), (0, DEGREE - nbrs.shape[1])),
+                              constant_values=-1)
         nbrs_dev = self.nbr_ids.at[:n].set(jnp.asarray(nbrs))
         bits_buf, fa_buf, fr_buf = self.nbr_bits, self.f_add, self.f_rescale
         c = min(chunk, n)

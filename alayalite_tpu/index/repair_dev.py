@@ -101,14 +101,20 @@ def _representatives_dev(labels: jax.Array, mask: jax.Array) -> jax.Array:
     return -neg_top  # ascending rep ids, padded with n
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _attach_dev(nbrs: jax.Array, reps: jax.Array,
-                srcs: jax.Array) -> jax.Array:
+@partial(jax.jit, donate_argnums=(0, 3))
+def _attach_dev(nbrs: jax.Array, reps: jax.Array, srcs: jax.Array,
+                used: jax.Array) -> tuple:
     """Write edge src→rep for every valid (rep, src) pair. Pairs are
-    grouped by src; the k-th pair of a src takes the row's k-th empty
-    slot, overflowing into rotation from the row's end — the device
-    analog of the host attach's empty-then-rotate policy, with distinct
-    slots per row within a round by construction."""
+    grouped by src; the k-th pair of a src takes the row's k-th
+    *preferred* slot, where the preference order is empty slots first
+    (in position order) then occupied slots FROM THE ROW'S END — rows
+    are distance-sorted, so overflow clobbers the worst build edge, not
+    the best (clobbering slot 0 of a thin scan-built graph re-disconnects
+    whole subtrees and makes the repair oscillate — measured at 1M).
+    ``used[row]`` counts repair edges already written into the row in
+    prior rounds and advances the preference cursor past them, so a
+    later round never clobbers an earlier round's bridge (the second
+    oscillation mode). Returns (nbrs, used) updated."""
     n, r = nbrs.shape
     k = reps.shape[0]
     valid = (reps < n) & (srcs >= 0)
@@ -123,14 +129,16 @@ def _attach_dev(nbrs: jax.Array, reps: jax.Array,
     rank = idx - group_start
     s_safe = jnp.where(v, s, 0)
     rows = nbrs[s_safe]                              # [K, R]
-    is_empty = rows < 0
-    # stable argsort of occupancy: empty slot positions first (in order),
-    # then occupied ones — so the k-th pair of a row takes the k-th empty
-    # and overflow clobbers occupied slots, never an empty another pair of
-    # this round just filled; distinct per row for rank < R
-    perm = jnp.argsort(~is_empty, axis=1, stable=True)
-    slot = perm[idx, rank % r].astype(jnp.int32)
-    return nbrs.at[jnp.where(v, s, n), slot].set(u, mode="drop")
+    col = jnp.arange(r, dtype=jnp.int32)[None, :]
+    # preference key: empties ascending (0..r-1), occupied descending
+    # from the end (2r..3r-1 reversed) — argsort yields the policy above
+    pref_key = jnp.where(rows < 0, col, 3 * r - 1 - col)
+    perm = jnp.argsort(pref_key, axis=1)
+    pos = (used[s_safe] + rank) % r
+    slot = perm[idx, pos].astype(jnp.int32)
+    nbrs = nbrs.at[jnp.where(v, s, n), slot].set(u, mode="drop")
+    used = used.at[jnp.where(v, s, n)].add(1, mode="drop")
+    return nbrs, used
 
 
 def repair_connectivity_dev(space, nbrs: jax.Array, ep: int,
@@ -145,6 +153,7 @@ def repair_connectivity_dev(space, nbrs: jax.Array, ep: int,
 
     seed = jnp.zeros(n, jnp.bool_).at[ep].set(True)
     reached = _expand_reached_dev(nbrs, seed)
+    used = jnp.zeros(n, jnp.int32)
     verified = True
     for _round in range(max_rounds):
         missing = int(jnp.sum(~reached))
@@ -169,7 +178,7 @@ def repair_connectivity_dev(space, nbrs: jax.Array, ep: int,
         qs = data[jnp.minimum(reps, n - 1)]
         _, near = exact_topk(qs, data, 1, metric=space.metric, valid=reached)
         srcs = jnp.asarray(near[:, 0])
-        nbrs = _attach_dev(nbrs, reps, srcs)
+        nbrs, used = _attach_dev(nbrs, reps, srcs, used)
         reached = _expand_reached_dev(nbrs, reached)
     return nbrs
 

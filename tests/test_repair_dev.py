@@ -78,22 +78,47 @@ def test_attach_prefers_empty_slots_and_never_self_clobbers():
     n, r = 32, 4
     nbrs = np.full((n, r), -1, np.int32)
     nbrs[5] = [1, -1, 2, -1]          # two empties at slots 1 and 3
-    nbrs[9] = [1, 2, 3, 4]            # full row → rotation from the end
+    nbrs[9] = [1, 2, 3, 4]            # full row → clobber from the END
     reps = np.full(8192, n, np.int32)
     srcs = np.full(8192, -1, np.int32)
     reps[:5] = [10, 11, 12, 13, 14]
     srcs[:5] = [5, 5, 5, 9, 9]
-    out = np.asarray(_attach_dev(jnp.asarray(nbrs), jnp.asarray(reps),
-                                 jnp.asarray(srcs)))
+    used = jnp.zeros(n, jnp.int32)
+    out, used = _attach_dev(jnp.asarray(nbrs), jnp.asarray(reps),
+                            jnp.asarray(srcs), used)
+    out = np.asarray(out)
     row5 = out[5].tolist()
-    # both empties used, third rep rotates into an occupied slot
+    # both empties used, third rep overflows into an occupied slot
     assert set(row5) >= {10, 11}
     assert 12 in row5
     assert len([x for x in row5 if x in (10, 11, 12)]) == 3
     row9 = out[9].tolist()
-    assert 13 in row9 and 14 in row9  # distinct rotated slots
+    # full row: worst (last) edges clobbered first, best edge kept
+    assert row9 == [1, 2, 14, 13]
+    assert np.asarray(used)[5] == 3 and np.asarray(used)[9] == 2
     # untouched rows stay untouched
     assert np.all(out[0] == -1)
+
+
+def test_attach_cursor_preserves_prior_round_bridges():
+    """A second round writing into the same full row must not clobber the
+    first round's bridge (the 1M oscillation mode)."""
+    n, r = 16, 4
+    nbrs = np.full((n, r), -1, np.int32)
+    nbrs[3] = [7, 8, 9, 10]
+    reps = np.full(8192, n, np.int32)
+    srcs = np.full(8192, -1, np.int32)
+    reps[0] = 11
+    srcs[0] = 3
+    used = jnp.zeros(n, jnp.int32)
+    out, used = _attach_dev(jnp.asarray(nbrs), jnp.asarray(reps),
+                            jnp.asarray(srcs), used)
+    assert np.asarray(out)[3].tolist() == [7, 8, 9, 11]
+    reps2 = reps.copy(); reps2[0] = 12
+    out2, used = _attach_dev(out, jnp.asarray(reps2), jnp.asarray(srcs),
+                             used)
+    # round-2 edge lands one slot earlier; round-1 bridge intact
+    assert np.asarray(out2)[3].tolist() == [7, 8, 12, 11]
 
 
 @pytest.mark.parametrize("seed", [0, 1])

@@ -42,12 +42,6 @@ def _chunks(n: int, chunk: int):
     return starts, chunk
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("chunk",))
-def _write2(buf_d, buf_i, d, i, lo, chunk: int):
-    return (jax.lax.dynamic_update_slice_in_dim(buf_d, d, lo, 0),
-            jax.lax.dynamic_update_slice_in_dim(buf_i, i, lo, 0))
-
-
 def search_pool_dev(space, nbrs_dev: jax.Array, eps: np.ndarray, ef: int,
                     n: int, chunk: int = 4096, n_rand_seeds: int = 16,
                     seed: int = 0, max_iters: int = 0, seed_sample=None,
@@ -64,35 +58,68 @@ def search_pool_dev(space, nbrs_dev: jax.Array, eps: np.ndarray, ef: int,
     ``knn_seed`` > 0 additionally seeds each node's beam with its first
     ``knn_seed`` kNN-graph neighbors — the beam starts INSIDE the local
     neighborhood, not merely near it, cutting the hops needed to fill an
-    ef-pool."""
-    from .search import scan_seeds
+    ef-pool.
 
-    rng = np.random.default_rng(seed)
-    eps = np.asarray(eps, dtype=np.int32)
+    The whole phase is ONE dispatch: a lax.scan over chunk starts with the
+    [n, ef] pools as the donated carry (the previous per-chunk host loop
+    paid ~245 dispatch round-trips + eager seed glue at 1M — tens of
+    seconds of tunnel latency for ~zero chip work)."""
+    eps_dev = jnp.asarray(np.asarray(eps, dtype=np.int32))
+    starts, chunk = _chunks(n, chunk)
+    starts_dev = jnp.asarray(np.asarray(starts, dtype=np.int32))
     pool_d = jnp.zeros((n, ef), dtype=jnp.float32)
     pool_i = jnp.zeros((n, ef), dtype=jnp.int32)
-    starts, chunk = _chunks(n, chunk)
-    for idx, lo in enumerate(starts):
+    key = jax.random.PRNGKey(seed ^ 0xB00F)
+    if seed_sample is None:
+        return _search_pool_scan(space, nbrs_dev, eps_dev, starts_dev, key,
+                                 pool_d, pool_i, None, None, None,
+                                 chunk=chunk, ef=ef, n=n,
+                                 n_rand_seeds=n_rand_seeds,
+                                 max_iters=max_iters, knn_seed=knn_seed,
+                                 with_sample=False)
+    return _search_pool_scan(space, nbrs_dev, eps_dev, starts_dev, key,
+                             pool_d, pool_i, *seed_sample,
+                             chunk=chunk, ef=ef, n=n,
+                             n_rand_seeds=n_rand_seeds,
+                             max_iters=max_iters, knn_seed=knn_seed,
+                             with_sample=True)
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(5, 6),
+    static_argnames=("chunk", "ef", "n", "n_rand_seeds", "max_iters",
+                     "knn_seed", "with_sample"))
+def _search_pool_scan(space, nbrs_dev, eps_dev, starts_dev, key, pool_d,
+                      pool_i, sample_ids, sample_vecs, sample_sq,
+                      chunk: int, ef: int, n: int, n_rand_seeds: int,
+                      max_iters: int, knn_seed: int, with_sample: bool):
+    from .search import scan_seeds
+
+    def step(carry, lo):
+        pd, pi = carry
         qj = jax.lax.dynamic_slice_in_dim(space.data, lo, chunk
                                           ).astype(jnp.float32)
-        rand = rng.integers(0, n, size=(chunk, n_rand_seeds))
-        seeds_np = np.concatenate(
-            [np.broadcast_to(eps[None, :], (chunk, eps.shape[0])), rand],
-            axis=1).astype(np.int32)
-        seeds = jnp.asarray(seeds_np)
+        sub = jax.random.fold_in(key, lo)
+        rand = jax.random.randint(sub, (chunk, n_rand_seeds), 0, n,
+                                  dtype=jnp.int32)
+        seeds = jnp.concatenate(
+            [jnp.broadcast_to(eps_dev[None, :], (chunk, eps_dev.shape[0])),
+             rand], axis=1)
         if knn_seed > 0:
             own = jax.lax.dynamic_slice_in_dim(nbrs_dev, lo, chunk
                                                )[:, :knn_seed]
             seeds = jnp.concatenate([own, seeds], axis=1)
-        if seed_sample is not None:
+        if with_sample:
             seeds = jnp.concatenate(
-                [scan_seeds(qj, *seed_sample), seeds], axis=1)
+                [scan_seeds(qj, sample_ids, sample_vecs, sample_sq), seeds],
+                axis=1)
         d, i = beam_search(space, nbrs_dev, seeds, qj,
                            k=ef, ef=ef, n_expand=8, max_iters=max_iters)
-        pool_d, pool_i = _write2(pool_d, pool_i, d, i,
-                                 jnp.asarray(lo, jnp.int32), chunk=chunk)
-        if idx % 50 == 49:
-            log.info("search pool: %d/%d", lo + chunk, n)
+        pd = jax.lax.dynamic_update_slice_in_dim(pd, d, lo, 0)
+        pi = jax.lax.dynamic_update_slice_in_dim(pi, i, lo, 0)
+        return (pd, pi), None
+
+    (pool_d, pool_i), _ = jax.lax.scan(step, (pool_d, pool_i), starts_dev)
     return pool_d, pool_i
 
 
@@ -160,14 +187,26 @@ def _prune_chunk_into(out_buf, space, cand_d, cand_i, lo, r: int,
 
 def prune_all_dev(space, cand_d: jax.Array, cand_i: jax.Array, r: int,
                   alpha: float = 1.0, chunk: int = 4096) -> jax.Array:
-    """Occlusion-prune every node's candidate row (device in/out)."""
+    """Occlusion-prune every node's candidate row (device in/out).
+    One dispatch: lax.scan over chunk starts (see search_pool_dev)."""
     n = cand_i.shape[0]
-    out = jnp.zeros((n, r), dtype=jnp.int32)
     starts, chunk = _chunks(n, chunk)
-    for lo in starts:
-        out = _prune_chunk_into(out, space, cand_d, cand_i,
-                                jnp.asarray(lo, jnp.int32), r=r, alpha=alpha,
-                                chunk=chunk)
+    starts_dev = jnp.asarray(np.asarray(starts, dtype=np.int32))
+    return _prune_all_scan(space, cand_d, cand_i, starts_dev, r=r,
+                           alpha=alpha, chunk=chunk, n=n)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("r", "alpha", "chunk", "n"))
+def _prune_all_scan(space, cand_d, cand_i, starts_dev, r: int, alpha: float,
+                    chunk: int, n: int):
+    out = jnp.zeros((n, r), dtype=jnp.int32)
+
+    def step(out, lo):
+        return _prune_chunk_into(out, space, cand_d, cand_i, lo, r=r,
+                                 alpha=alpha, chunk=chunk), None
+
+    out, _ = jax.lax.scan(step, out, starts_dev)
     return out
 
 
@@ -208,14 +247,26 @@ def _reprune_chunk_into(out_buf, space, nbrs, rev, lo, r: int, alpha: float,
 def reprune_with_reverse_dev(space, nbrs: jax.Array, rev: jax.Array, r: int,
                              alpha: float = 1.0,
                              chunk: int = 4096) -> jax.Array:
-    """Re-prune every node over [current edges ∪ reverse candidates]."""
+    """Re-prune every node over [current edges ∪ reverse candidates].
+    One dispatch: lax.scan over chunk starts."""
     n = nbrs.shape[0]
-    out = jnp.zeros((n, r), dtype=jnp.int32)
     starts, chunk = _chunks(n, chunk)
-    for lo in starts:
-        out = _reprune_chunk_into(out, space, nbrs, rev,
-                                  jnp.asarray(lo, jnp.int32), r=r,
-                                  alpha=alpha, chunk=chunk)
+    starts_dev = jnp.asarray(np.asarray(starts, dtype=np.int32))
+    return _reprune_scan(space, nbrs, rev, starts_dev, r=r, alpha=alpha,
+                         chunk=chunk, n=n)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("r", "alpha", "chunk", "n"))
+def _reprune_scan(space, nbrs, rev, starts_dev, r: int, alpha: float,
+                  chunk: int, n: int):
+    out = jnp.zeros((n, r), dtype=jnp.int32)
+
+    def step(out, lo):
+        return _reprune_chunk_into(out, space, nbrs, rev, lo, r=r,
+                                   alpha=alpha, chunk=chunk), None
+
+    out, _ = jax.lax.scan(step, out, starts_dev)
     return out
 
 
@@ -251,11 +302,22 @@ def _fill_chunk_into(out_buf, nbrs, cand_d, cand_i, lo, r: int, chunk: int):
 
 def fill_degree_dev(nbrs: jax.Array, cand_d: jax.Array, cand_i: jax.Array,
                     r: int, chunk: int = 4096) -> jax.Array:
-    """Pad every row to exactly r edges with nearest unused candidates."""
+    """Pad every row to exactly r edges with nearest unused candidates.
+    One dispatch: lax.scan over chunk starts."""
     n = nbrs.shape[0]
-    out = jnp.zeros((n, r), dtype=jnp.int32)
     starts, chunk = _chunks(n, chunk)
-    for lo in starts:
-        out = _fill_chunk_into(out, nbrs, cand_d, cand_i,
-                               jnp.asarray(lo, jnp.int32), r=r, chunk=chunk)
+    starts_dev = jnp.asarray(np.asarray(starts, dtype=np.int32))
+    return _fill_scan(nbrs, cand_d, cand_i, starts_dev, r=r, chunk=chunk,
+                      n=n)
+
+
+@functools.partial(jax.jit, static_argnames=("r", "chunk", "n"))
+def _fill_scan(nbrs, cand_d, cand_i, starts_dev, r: int, chunk: int, n: int):
+    out = jnp.zeros((n, r), dtype=jnp.int32)
+
+    def step(out, lo):
+        return _fill_chunk_into(out, nbrs, cand_d, cand_i, lo, r=r,
+                                chunk=chunk), None
+
+    out, _ = jax.lax.scan(step, out, starts_dev)
     return out

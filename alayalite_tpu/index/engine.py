@@ -535,6 +535,15 @@ class IndexEngine:
         ids = np.atleast_1d(np.asarray(ids, dtype=np.int32))
         if ids.size == 0:
             return
+        # pad the affected set to a 2048-bucket with copies of ids[0]: the
+        # top-R dedup and block requantization are jitted on [A, W] and a
+        # data-dependent A is a fresh compile per compact. Duplicate ids
+        # scatter identical rows (computed from identical candidates), so
+        # write order is immaterial.
+        a_pad = -(-ids.size // 2048) * 2048
+        if a_pad > ids.size:
+            ids = np.concatenate(
+                [ids, np.full(a_pad - ids.size, ids[0], np.int32)])
         removed = (np.empty(0, np.int32) if _removed is None
                    else np.asarray(_removed, dtype=np.int32))
         from .nsg import _gather_dists_chunked

@@ -339,51 +339,76 @@ def _init_cluster_knn(space, n: int, k: int, seed: int, chunk: int):
     if n % chunk and starts[-1] + chunk < n:
         starts.append(max(0, n - chunk))
     c = min(chunk, n)
-    assign_dev = jnp.zeros((n,), dtype=jnp.int32)
-    for lo in starts:
-        start = min(lo, n - c)
-        assign_dev = _assign_chunk_into(assign_dev, space, a_vecs, a_sq,
-                                        jnp.asarray(start, jnp.int32),
-                                        chunk=c)
+    chunk_starts = jnp.asarray(
+        np.minimum(np.asarray(starts, dtype=np.int32), n - c))
+    assign_dev = _assign_all(space, a_vecs, a_sq, chunk_starts, n=n, chunk=c)
     assign = np.asarray(assign_dev)  # one download for the host group-by
 
-    # host group-by: members sorted by cluster
+    # host group-by: members sorted by cluster. Only the [n] permutation and
+    # the tiny per-cluster tables go back up — the candidate matrix itself is
+    # drawn in-jit (at 1M the old host-built [n, 2k] int32 upload was 256 MB
+    # through the tunnel, the bulk of warm cluster-init wall time).
     order = np.argsort(assign, kind="stable").astype(np.int32)
-    counts = np.bincount(assign, minlength=n_anchors)
-    starts_c = np.zeros(n_anchors + 1, dtype=np.int64)
-    np.cumsum(counts, out=starts_c[1:])
-    # candidates: k random members of i's own cluster (locality) ∪ k random
-    # global nodes (the long-range links NN-Descent's join exploits)
-    pos = rng.integers(0, np.maximum(counts[assign], 1)[:, None],
-                       size=(n, k)).astype(np.int64)
-    local = order[(starts_c[assign][:, None] + pos) % max(n, 1)]
-    rand = rng.integers(0, n, size=(n, k))
-    cand = np.concatenate([local, rand], axis=1).astype(np.int32)
-    me = np.arange(n, dtype=np.int32)[:, None]
-    cand = np.where(cand == me, -1, cand)
+    counts = np.bincount(assign, minlength=n_anchors).astype(np.int32)
+    starts_c = np.zeros(n_anchors, dtype=np.int32)
+    np.cumsum(counts[:-1], out=starts_c[1:])
+    order_dev = jnp.asarray(order)
+    counts_dev = jnp.asarray(counts)
+    starts_dev = jnp.asarray(starts_c)
 
-    # score + dedup-merge on device, chunked
+    # score + dedup-merge on device: one scan dispatch over all chunks
+    key = jax.random.PRNGKey(seed ^ 0x5EED)
+    return _cluster_score_all(space, assign_dev, order_dev, counts_dev,
+                              starts_dev, chunk_starts, key, k=k, chunk=c,
+                              n=n)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "chunk"))
+def _assign_all(space, anchors_vecs, anchors_sq, chunk_starts, n: int,
+                chunk: int):
+    """Nearest anchor of every node: one scan dispatch over all chunks."""
+    assign = jnp.zeros((n,), dtype=jnp.int32)
+
+    def step(buf, lo):
+        return _assign_chunk_into(buf, space, anchors_vecs, anchors_sq, lo,
+                                  chunk=chunk), None
+
+    assign, _ = jax.lax.scan(step, assign, chunk_starts)
+    return assign
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "n"))
+def _cluster_score_all(space, assign_dev, order_dev, counts_dev, starts_dev,
+                       chunk_starts, key, k: int, chunk: int, n: int):
+    """Draw + score every node's init candidates entirely on device, one
+    scan dispatch: k random members of the node's own cluster (locality) ∪
+    k random global nodes (the long-range links NN-Descent's join
+    exploits)."""
+
+    def step(carry, lo):
+        kd, ki = carry
+        a = jax.lax.dynamic_slice_in_dim(assign_dev, lo, chunk)    # [C]
+        cnt = jnp.maximum(counts_dev[a], 1)                        # [C]
+        k1, k2 = jax.random.split(jax.random.fold_in(key, lo))
+        pos = jax.random.randint(k1, (chunk, k), 0, cnt[:, None])
+        local = order_dev[(starts_dev[a][:, None] + pos) % n]
+        rand = jax.random.randint(k2, (chunk, k), 0, n)
+        cc = jnp.concatenate([local, rand], axis=1).astype(jnp.int32)
+        me = lo + jnp.arange(chunk, dtype=jnp.int32)[:, None]
+        cc = jnp.where(cc == me, -1, cc)
+        q = jax.lax.dynamic_slice_in_dim(space.data, lo, chunk
+                                         ).astype(jnp.float32)
+        safe = jnp.where(cc >= 0, cc, 0)
+        d = space.gather_dists(q, safe)
+        d = jnp.where(cc >= 0, d, FINF)
+        pd = jnp.full((chunk, k), FINF, dtype=jnp.float32)
+        pi = jnp.full((chunk, k), -1, dtype=jnp.int32)
+        nd, ni = _dedup_merge_fast(pd, pi, d, cc, k)
+        kd = jax.lax.dynamic_update_slice_in_dim(kd, nd, lo, axis=0)
+        ki = jax.lax.dynamic_update_slice_in_dim(ki, ni, lo, axis=0)
+        return (kd, ki), None
+
     kd = jnp.zeros((n, k), dtype=jnp.float32)
     ki = jnp.zeros((n, k), dtype=jnp.int32)
-    cand_dev = jnp.asarray(cand)
-    for lo in starts:
-        start = min(lo, n - c)
-        kd, ki = _score_init_chunk(space, kd, ki, cand_dev,
-                                   jnp.asarray(start, jnp.int32), k=k, chunk=c)
-    return kd, ki
-
-
-@functools.partial(jax.jit, donate_argnums=(1, 2),
-                   static_argnames=("k", "chunk"))
-def _score_init_chunk(space, kd, ki, cand_dev, lo, k: int, chunk: int):
-    cc = jax.lax.dynamic_slice_in_dim(cand_dev, lo, chunk)
-    q = jax.lax.dynamic_slice_in_dim(space.data, lo, chunk).astype(jnp.float32)
-    safe = jnp.where(cc >= 0, cc, 0)
-    d = space.gather_dists(q, safe)
-    d = jnp.where(cc >= 0, d, FINF)
-    pd = jnp.full((chunk, k), FINF, dtype=jnp.float32)
-    pi = jnp.full((chunk, k), -1, dtype=jnp.int32)
-    nd, ni = _dedup_merge_fast(pd, pi, d, cc, k)
-    kd = jax.lax.dynamic_update_slice_in_dim(kd, nd, lo, axis=0)
-    ki = jax.lax.dynamic_update_slice_in_dim(ki, ni, lo, axis=0)
+    (kd, ki), _ = jax.lax.scan(step, (kd, ki), chunk_starts)
     return kd, ki

@@ -199,7 +199,10 @@ def rewire_candidates(nbrs: np.ndarray, affected: np.ndarray,
     order = np.argsort(s < 0, axis=1, kind="stable")
     s = np.take_along_axis(s, order, axis=1)
     maxc = max(int((s >= 0).sum(axis=1).max()), width)
-    maxc = -(-maxc // 16) * 16
+    # coarse 128-bucket: the candidate width varies with tombstone density,
+    # and every distinct width is a fresh XLA compile of the gather +
+    # top-R consumers (~30-60 s each through a TPU tunnel)
+    maxc = -(-maxc // 128) * 128
     if maxc > s.shape[1]:
         s = np.pad(s, ((0, 0), (0, maxc - s.shape[1])), constant_values=-1)
     return np.ascontiguousarray(s[:, :maxc], dtype=np.int32)

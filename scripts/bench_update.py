@@ -55,13 +55,30 @@ for b in range(4):
 dt = time.time() - t0
 print(f"remove steady: {4*BATCH/dt:,.0f} vec/s", flush=True)
 
-# compaction wall-clock: 20% tombstones at 100k (round-2 verdict target:
-# < 5 s host time with the vectorized rewire_candidates)
-eng = idx._engine
-eng.params.compaction_threshold = 0.0  # manual
-more = rng.choice(N, size=int(0.2 * N) - 4 * BATCH, replace=False)
-more = np.setdiff1d(more, doomed).astype(np.int32)
-idx.remove(more)
+# larger batches amortize the per-dispatch tunnel floor: report both
+big = ds.data[rng.integers(0, N, size=4 * 1024)] + 0.02 * rng.normal(
+    size=(4 * 1024, DIM)).astype(np.float32)
+idx.insert(big[:1024])  # warm the 1024 shapes
 t0 = time.time()
-eng.compact()
-print(f"compact 20% of {N}: {time.time()-t0:.1f}s", flush=True)
+for b in range(1, 4):
+    idx.insert(big[b * 1024: (b + 1) * 1024])
+dt = time.time() - t0
+print(f"insert steady (1024-batch): {3*1024/dt:,.0f} vec/s", flush=True)
+
+# compaction wall-clock: 20% tombstones at 100k (round-2 verdict target:
+# < 5 s host time with the vectorized rewire_candidates). Cycle 1 pays the
+# one-time XLA compiles of the [A, W]-bucketed rewire shapes; cycle 2 on a
+# fresh index is the steady state a long-lived serving process sees.
+for cycle in (1, 2):
+    jdx = Index(f"c{cycle}", IndexParams(
+        index_type="hnsw", capacity=N + 32 * BATCH, max_nbrs=32,
+        ef_construction=200, quantization_type="bsq8"))
+    jdx.fit(ds.data)
+    eng = jdx._engine
+    eng.params.compaction_threshold = 0.0  # manual
+    dead = rng.choice(N, size=int(0.2 * N), replace=False).astype(np.int32)
+    jdx.remove(dead)
+    t0 = time.time()
+    eng.compact()
+    print(f"compact 20% of {N} (cycle {cycle}): {time.time()-t0:.1f}s",
+          flush=True)

@@ -60,29 +60,35 @@ def search_pool_dev(space, nbrs_dev: jax.Array, eps: np.ndarray, ef: int,
     neighborhood, not merely near it, cutting the hops needed to fill an
     ef-pool.
 
-    The whole phase is ONE dispatch: a lax.scan over chunk starts with the
-    [n, ef] pools as the donated carry (the previous per-chunk host loop
-    paid ~245 dispatch round-trips + eager seed glue at 1M — tens of
-    seconds of tunnel latency for ~zero chip work)."""
+    The phase runs as a handful of dispatches: chunk starts are processed
+    in groups of ``ALAYA_POOL_GROUP`` (default 32), each group ONE lax.scan
+    dispatch with the [n, ef] pools as the donated carry. The previous
+    per-chunk host loop paid ~245 dispatch round-trips + eager seed glue at
+    1M — tens of seconds of tunnel latency for ~zero chip work; a single
+    245-long scan program in turn crashed the TPU worker at 1M shapes
+    (fine at 200k), so the group size bounds the program."""
+    import os
+
     eps_dev = jnp.asarray(np.asarray(eps, dtype=np.int32))
     starts, chunk = _chunks(n, chunk)
-    starts_dev = jnp.asarray(np.asarray(starts, dtype=np.int32))
+    group = max(1, int(os.environ.get("ALAYA_POOL_GROUP", "32")))
+    starts = np.asarray(starts, dtype=np.int32)
+    if starts.size % group:
+        # pad with copies of the last start: the tail chunk is recomputed
+        # with identical queries and written to the same rows — idempotent
+        starts = np.concatenate(
+            [starts, np.full(-starts.size % group, starts[-1], np.int32)])
     pool_d = jnp.zeros((n, ef), dtype=jnp.float32)
     pool_i = jnp.zeros((n, ef), dtype=jnp.int32)
     key = jax.random.PRNGKey(seed ^ 0xB00F)
-    if seed_sample is None:
-        return _search_pool_scan(space, nbrs_dev, eps_dev, starts_dev, key,
-                                 pool_d, pool_i, None, None, None,
-                                 chunk=chunk, ef=ef, n=n,
-                                 n_rand_seeds=n_rand_seeds,
-                                 max_iters=max_iters, knn_seed=knn_seed,
-                                 with_sample=False)
-    return _search_pool_scan(space, nbrs_dev, eps_dev, starts_dev, key,
-                             pool_d, pool_i, *seed_sample,
-                             chunk=chunk, ef=ef, n=n,
-                             n_rand_seeds=n_rand_seeds,
-                             max_iters=max_iters, knn_seed=knn_seed,
-                             with_sample=True)
+    sample = (None, None, None) if seed_sample is None else seed_sample
+    for g in range(0, starts.size, group):
+        pool_d, pool_i = _search_pool_scan(
+            space, nbrs_dev, eps_dev, jnp.asarray(starts[g:g + group]), key,
+            pool_d, pool_i, *sample, chunk=chunk, ef=ef, n=n,
+            n_rand_seeds=n_rand_seeds, max_iters=max_iters,
+            knn_seed=knn_seed, with_sample=seed_sample is not None)
+    return pool_d, pool_i
 
 
 @functools.partial(

@@ -112,7 +112,8 @@ class HNSWBuilder:
         import jax
         import jax.numpy as jnp
 
-        from .build_phases import (prune_all_dev, reprune_with_reverse_dev,
+        from .build_phases import (fill_degree_dev, prune_all_dev,
+                                   reprune_with_reverse_dev,
                                    reverse_edges_dev, search_pool_dev)
 
         t0 = time.time()
@@ -149,6 +150,17 @@ class HNSWBuilder:
         nbrs_dev = reprune_with_reverse_dev(space, nbrs_dev, rev, r=self.r,
                                             alpha=self.alpha,
                                             chunk=self.chunk)
+        if self.use_search_pool and space.metric == "ip" \
+                and getattr(space, "user_metric", "ip") == "ip":
+            # pad rows back to r with nearest unused candidates — IP only.
+            # Occlusion pruning under IP collapses rows toward high-norm
+            # hubs (at 8k ip, 1/3 of nodes ended with ZERO in-degree →
+            # recall 0.49); the fill restores in-degree the way the QG
+            # pipeline does. Under L2/cos the occluded rows are already
+            # navigable and the extra near-duplicate edges measurably hurt
+            # post-compaction recall (test_maintenance), so they stay off.
+            nbrs_dev = fill_degree_dev(nbrs_dev, cand_d, cand_i, r=self.r,
+                                       chunk=self.chunk)
         log.info("hnsw: reverse %.1fs", time.time() - t0)
 
         nbrs = np.array(nbrs_dev)  # single adjacency download

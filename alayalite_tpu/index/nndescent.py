@@ -341,8 +341,10 @@ def _init_cluster_knn(space, n: int, k: int, seed: int, chunk: int):
     c = min(chunk, n)
     chunk_starts = jnp.asarray(
         np.minimum(np.asarray(starts, dtype=np.int32), n - c))
+    t0 = time.time()
     assign_dev = _assign_all(space, a_vecs, a_sq, chunk_starts, n=n, chunk=c)
     assign = np.asarray(assign_dev)  # one download for the host group-by
+    log.debug("cluster init: assign %.1fs", time.time() - t0)
 
     # host group-by: members sorted by cluster. Only the [n] permutation and
     # the tiny per-cluster tables go back up — the candidate matrix itself is

@@ -36,7 +36,7 @@ def bench(name, kw, efs):
         qps = nq/((time.time()-t0)/3)
         print(f"{name:10} ef={ef:4} recall={rec:.4f} qps={qps:10,.0f} build={b:7.1f}s", flush=True)
 
-only = os.environ.get("S1M_ONLY", "flat,bsq8")
+only = os.environ.get("S1M_ONLY", "flat,bsq8").split(",")
 if "flat" in only:
     bench("flat_fast", dict(index_type="flat", flat_mode="fast"), [10])
 if "bsq8" in only:

@@ -175,10 +175,18 @@ def twohop_pool_dev(space, knn_i: jax.Array, ef: int, n: int,
     return pool_d, pool_i
 
 
+def _prune_opts():
+    import os
+
+    return (int(os.environ.get("ALAYA_PRUNE_MCAP", "0")),
+            os.environ.get("ALAYA_PRUNE_BF16", "0") == "1")
+
+
 @functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("r", "alpha", "chunk"))
+                   static_argnames=("r", "alpha", "chunk", "mcap", "bf16"))
 def _prune_chunk_into(out_buf, space, cand_d, cand_i, lo, r: int,
-                      alpha: float, chunk: int):
+                      alpha: float, chunk: int, mcap: int = 0,
+                      bf16: bool = False):
     cd = jax.lax.dynamic_slice_in_dim(cand_d, lo, chunk)
     ci = jax.lax.dynamic_slice_in_dim(cand_i, lo, chunk)
     vecs = jax.lax.dynamic_slice_in_dim(space.data, lo, chunk
@@ -187,7 +195,8 @@ def _prune_chunk_into(out_buf, space, cand_d, cand_i, lo, r: int,
     me = lo + jnp.arange(chunk, dtype=jnp.int32)[:, None]
     cd = jnp.where(ci == me, FINF, cd)
     ci = jnp.where(ci == me, -1, ci)
-    res = occlusion_prune_chunk(space, vecs, cd, ci, r=r, alpha=alpha)
+    res = occlusion_prune_chunk(space, vecs, cd, ci, r=r, alpha=alpha,
+                                mcap=mcap, bf16=bf16)
     return jax.lax.dynamic_update_slice_in_dim(out_buf, res, lo, 0)
 
 
@@ -198,19 +207,23 @@ def prune_all_dev(space, cand_d: jax.Array, cand_i: jax.Array, r: int,
     n = cand_i.shape[0]
     starts, chunk = _chunks(n, chunk)
     starts_dev = jnp.asarray(np.asarray(starts, dtype=np.int32))
+    mcap, bf16 = _prune_opts()
     return _prune_all_scan(space, cand_d, cand_i, starts_dev, r=r,
-                           alpha=alpha, chunk=chunk, n=n)
+                           alpha=alpha, chunk=chunk, n=n, mcap=mcap,
+                           bf16=bf16)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("r", "alpha", "chunk", "n"))
+                   static_argnames=("r", "alpha", "chunk", "n", "mcap",
+                                    "bf16"))
 def _prune_all_scan(space, cand_d, cand_i, starts_dev, r: int, alpha: float,
-                    chunk: int, n: int):
+                    chunk: int, n: int, mcap: int = 0, bf16: bool = False):
     out = jnp.zeros((n, r), dtype=jnp.int32)
 
     def step(out, lo):
         return _prune_chunk_into(out, space, cand_d, cand_i, lo, r=r,
-                                 alpha=alpha, chunk=chunk), None
+                                 alpha=alpha, chunk=chunk, mcap=mcap,
+                                 bf16=bf16), None
 
     out, _ = jax.lax.scan(step, out, starts_dev)
     return out
@@ -233,9 +246,9 @@ def reverse_edges_dev(nbrs: jax.Array, key: jax.Array,
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("r", "alpha", "chunk"))
+                   static_argnames=("r", "alpha", "chunk", "mcap", "bf16"))
 def _reprune_chunk_into(out_buf, space, nbrs, rev, lo, r: int, alpha: float,
-                        chunk: int):
+                        chunk: int, mcap: int = 0, bf16: bool = False):
     nb = jax.lax.dynamic_slice_in_dim(nbrs, lo, chunk)
     rv = jax.lax.dynamic_slice_in_dim(rev, lo, chunk)
     ci = jnp.concatenate([nb, rv], axis=1)
@@ -246,7 +259,8 @@ def _reprune_chunk_into(out_buf, space, nbrs, rev, lo, r: int, alpha: float,
     safe = jnp.where(ci >= 0, ci, 0)
     cd = space.gather_dists(vecs, safe)
     cd = jnp.where(ci >= 0, cd, FINF)
-    res = occlusion_prune_chunk(space, vecs, cd, ci, r=r, alpha=alpha)
+    res = occlusion_prune_chunk(space, vecs, cd, ci, r=r, alpha=alpha,
+                                mcap=mcap, bf16=bf16)
     return jax.lax.dynamic_update_slice_in_dim(out_buf, res, lo, 0)
 
 
@@ -258,19 +272,22 @@ def reprune_with_reverse_dev(space, nbrs: jax.Array, rev: jax.Array, r: int,
     n = nbrs.shape[0]
     starts, chunk = _chunks(n, chunk)
     starts_dev = jnp.asarray(np.asarray(starts, dtype=np.int32))
+    mcap, bf16 = _prune_opts()
     return _reprune_scan(space, nbrs, rev, starts_dev, r=r, alpha=alpha,
-                         chunk=chunk, n=n)
+                         chunk=chunk, n=n, mcap=mcap, bf16=bf16)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("r", "alpha", "chunk", "n"))
+                   static_argnames=("r", "alpha", "chunk", "n", "mcap",
+                                    "bf16"))
 def _reprune_scan(space, nbrs, rev, starts_dev, r: int, alpha: float,
-                  chunk: int, n: int):
+                  chunk: int, n: int, mcap: int = 0, bf16: bool = False):
     out = jnp.zeros((n, r), dtype=jnp.int32)
 
     def step(out, lo):
         return _reprune_chunk_into(out, space, nbrs, rev, lo, r=r,
-                                   alpha=alpha, chunk=chunk), None
+                                   alpha=alpha, chunk=chunk, mcap=mcap,
+                                   bf16=bf16), None
 
     out, _ = jax.lax.scan(step, out, starts_dev)
     return out

@@ -52,14 +52,28 @@ def occlusion_prune_chunk(
     cand_i: jax.Array,      # [C, M] i32 candidate ids (-1 pad)
     r: int,
     alpha: float = 1.0,
+    mcap: int = 0,
+    bf16: bool = False,
 ) -> jax.Array:
-    """Select ≤ r edges per node under the occlusion rule. Returns [C, r] i32."""
+    """Select ≤ r edges per node under the occlusion rule. Returns [C, r] i32.
+
+    ``mcap`` > 0 truncates the sorted candidate row (the occlusion rule
+    selects from the nearest candidates overwhelmingly; the [C, M, M] pair
+    tensor shrinks quadratically). ``bf16`` computes pair distances from
+    bf16 vectors — they only gate edge selection, and bf16 halves the
+    gather traffic and rides the MXU at full rate. Both are threaded from
+    ALAYA_PRUNE_MCAP / ALAYA_PRUNE_BF16 by the phase drivers (read at call
+    time, traced as statics)."""
     C, M = cand_i.shape
     cand_d, cand_i = _sort_dedup(cand_d, cand_i)
+    if 0 < mcap < M:
+        cand_d, cand_i = cand_d[:, :mcap], cand_i[:, :mcap]
+        M = mcap
 
     # candidate↔candidate distances in one batched MXU contraction
     safe = jnp.where(cand_i >= 0, cand_i, 0)
-    vecs = space.data[safe].astype(jnp.float32)                   # [C, M, D]
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    vecs = space.data[safe].astype(dt)                            # [C, M, D]
     dots = jnp.einsum("cmd,cnd->cmn", vecs, vecs,
                       preferred_element_type=jnp.float32)          # [C, M, M]
     if space.metric == "ip":

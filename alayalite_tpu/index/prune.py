@@ -44,7 +44,8 @@ def _sort_dedup(cand_d: jax.Array, cand_i: jax.Array):
             jnp.take_along_axis(si, order, axis=1))
 
 
-@functools.partial(jax.jit, static_argnames=("r", "alpha"))
+@functools.partial(jax.jit,
+                   static_argnames=("r", "alpha", "mcap", "bf16"))
 def occlusion_prune_chunk(
     space,
     node_vecs: jax.Array,   # [C, D] f32 — the vectors being linked from

@@ -277,9 +277,11 @@ def build_knn_graph(
     n_rand = 4
     if chunk <= 0:
         # bound the [chunk, ~s1·s2+s_rev, D] gather tensor to ~2.5 GB
+        # (floor 2048, not 8192: at D=960 an 8192 floor would spill to
+        # 4.6 GB and risk HBM exhaustion next to the f32+bf16 data copies)
         dim = space.data.shape[1]
         m_width = s1 * s2 + s_rev + n_rand
-        chunk = min(n, max(8192, int(2.5e9 / (m_width * dim * 4))))
+        chunk = min(n, max(2048, int(2.5e9 / (m_width * dim * 4))))
 
     t0 = time.time()
     if n > 100_000:

@@ -52,10 +52,12 @@ def kernel(u_ref, qs_ref, codes_ref, out_ref, scratch, sems):
     nxt = jax.lax.rem(t + 1, 2)
 
     def issue(base, buf):
+        # one counting DMA semaphore per buffer: 2*BTM per-block semaphores
+        # overflow the 2 KB sflag space (measured: "Used 2.1K of 2.0K")
         def start(i, _):
             nid = u_ref[base + i]
             pltpu.make_async_copy(codes_ref.at[nid], scratch.at[buf, i],
-                                  sems.at[buf, i]).start()
+                                  sems.at[buf]).start()
             return 0
         jax.lax.fori_loop(0, BTM, start, 0)
 
@@ -78,7 +80,7 @@ def kernel(u_ref, qs_ref, codes_ref, out_ref, scratch, sems):
         def wait(i, _):
             nid = u_ref[t * BTM + i]
             pltpu.make_async_copy(codes_ref.at[nid], scratch.at[buf, i],
-                                  sems.at[buf, i]).wait()
+                                  sems.at[buf]).wait()
             return 0
         jax.lax.fori_loop(0, BTM, wait, 0)
 
@@ -116,7 +118,7 @@ def dma2_diagdot(codes, u, qs):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, BTM, R, D), jnp.uint8),
-            pltpu.SemaphoreType.DMA((2, BTM)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(

@@ -500,10 +500,17 @@ class IndexEngine:
             self._removed = []
             return
         removed = np.unique(np.asarray(self._removed, dtype=np.int32))
-        from .overlay_update import affected_by_removal, strip_overlay
+        from .overlay_update import strip_overlay
 
-        nbrs = np.asarray(self.graph.nbrs)
-        affected = affected_by_removal(nbrs, removed)
+        # affected set computed on device: the [C, W] adjacency never
+        # downloads (128 MB at 1M); the host sees one [C] byte mask
+        nbrs_dev = self.graph.nbrs
+        c = nbrs_dev.shape[0]
+        mask = jnp.zeros((c,), bool).at[
+            jnp.asarray(np.clip(removed, 0, c - 1))].set(True)
+        hit = jnp.any((nbrs_dev >= 0)
+                      & mask[jnp.clip(nbrs_dev, 0, c - 1)], axis=1) & ~mask
+        affected = np.flatnonzero(np.asarray(hit)).astype(np.int32)
         t0 = time.time()
         if affected.size:
             self.update_nodes(affected, _removed=removed)
@@ -546,25 +553,37 @@ class IndexEngine:
                 [ids, np.full(a_pad - ids.size, ids[0], np.int32)])
         removed = (np.empty(0, np.int32) if _removed is None
                    else np.asarray(_removed, dtype=np.int32))
-        from .nsg import _gather_dists_chunked
-        from .overlay_update import rewire_candidates
-
-        nbrs = np.asarray(self.graph.nbrs)
-        cand = rewire_candidates(nbrs, ids, removed)
-        cd = _gather_dists_chunked(self.space, ids, cand, 2048)
+        # device-resident rebuild: candidates, distances, top-R selection,
+        # requantization, and the adjacency scatter all stay on chip. The
+        # previous host path round-tripped ~0.5 GB of candidate/distance
+        # matrices per 100k compact through the tunnel (73 s measured warm);
+        # now only the id list goes up.
+        nbrs_dev = self.graph.nbrs
+        c = nbrs_dev.shape[0]
+        w = nbrs_dev.shape[1]
+        mask = (jnp.zeros((c,), bool).at[
+            jnp.asarray(np.clip(removed, 0, c - 1))].set(True)
+            if removed.size else jnp.zeros((c,), bool))
         block = self.params.quantization_type.is_block
-        r = self.search_space.degree if block else nbrs.shape[1]
-        rows = np.asarray(_topr_dedup(jnp.asarray(cd), jnp.asarray(cand), r))
-        if block:
-            self.search_space = self.search_space.set_neighbor_rows(ids, rows)
-            rows = np.asarray(self.search_space.nbr_ids[jnp.asarray(ids)])
-        new_nbrs = nbrs.copy()
-        if rows.shape[1] < new_nbrs.shape[1]:
-            pad = np.full((rows.shape[0], new_nbrs.shape[1] - rows.shape[1]),
-                          -1, np.int32)
-            rows = np.concatenate([rows, pad], axis=1)
-        new_nbrs[ids] = rows[:, : new_nbrs.shape[1]]
-        self.graph = Graph(nbrs=jnp.asarray(new_nbrs), eps=self.graph.eps,
+        r = self.search_space.degree if block else w
+        new_nbrs = nbrs_dev
+        for lo in range(0, ids.size, 8192):
+            sub = ids[lo: lo + 8192]
+            if sub.size < 8192 and ids.size > 8192:
+                sub = np.concatenate(
+                    [sub, np.full(8192 - sub.size, ids[0], np.int32)])
+            ids_dev = jnp.asarray(sub)
+            rows = _rewire_rows_dev(self.space, nbrs_dev, mask, ids_dev,
+                                    r=r)
+            if block:
+                self.search_space = self.search_space.set_neighbor_rows(
+                    ids_dev, rows)
+                rows = self.search_space.nbr_ids[ids_dev]
+            if rows.shape[1] < w:
+                rows = jnp.pad(rows, ((0, 0), (0, w - rows.shape[1])),
+                               constant_values=-1)
+            new_nbrs = new_nbrs.at[ids_dev].set(rows[:, :w])
+        self.graph = Graph(nbrs=new_nbrs, eps=self.graph.eps,
                            overlay=self.graph.overlay)
 
     def get_data_by_id(self, id_: int) -> np.ndarray:
@@ -672,6 +691,32 @@ def _reverse_candidates(src_ids: np.ndarray, dst_rows: np.ndarray):
 
 
 @functools.partial(jax.jit, static_argnames=("r",))
+@functools.partial(jax.jit, static_argnames=("r",))
+def _rewire_rows_dev(space, nbrs_dev, removed_mask, ids_dev, r: int):
+    """Device-resident candidate rebuild for update(): candidates = live
+    current edges ∪ removed neighbors' live edges (the 2-hop detour,
+    graph_update_job.hpp:105-137), exact top-r with keep-best dedup.
+    Reads the adjacency snapshot ``nbrs_dev``; only ids cross the host
+    boundary."""
+    a = ids_dev.shape[0]
+    n = removed_mask.shape[0]
+    cur = nbrs_dev[ids_dev]                                    # [A, W]
+    safe = jnp.clip(cur, 0, n - 1)
+    is_live = (cur >= 0) & ~removed_mask[safe]
+    is_rem = (cur >= 0) & removed_mask[safe]
+    direct = jnp.where(is_live, cur, -1)
+    hop2 = nbrs_dev[jnp.where(is_rem, cur, 0)]                 # [A, W, W]
+    ok2 = (is_rem[:, :, None] & (hop2 >= 0)
+           & ~removed_mask[jnp.clip(hop2, 0, n - 1)])
+    cand = jnp.concatenate(
+        [direct, jnp.where(ok2, hop2, -1).reshape(a, -1)], axis=1)
+    cand = jnp.where(cand == ids_dev[:, None], -1, cand)
+    q = space.data[ids_dev].astype(jnp.float32)
+    d = space.gather_dists(q, jnp.where(cand >= 0, cand, 0))
+    d = jnp.where(cand >= 0, d, jnp.inf)
+    return _topr_dedup(d, cand, r)
+
+
 def _topr_dedup(cand_d: jax.Array, cand_i: jax.Array, r: int):
     """Top-r candidates by distance with duplicate ids dropped (keep-best) —
     the reference update()'s candidate re-selection

@@ -178,8 +178,13 @@ def twohop_pool_dev(space, knn_i: jax.Array, ef: int, n: int,
 def _prune_opts():
     import os
 
+    # bf16 pair distances default ON: 1M prune family 112 -> 73 s at
+    # -0.0008 recall@ef32 (identical recall at 100k). MCAP stays opt-in:
+    # 96 was recall-neutral at 100k but broke repair convergence at 1M
+    # (nearest-only rows put every repair bridge in the worst-edge slot,
+    # where the next round clobbers it).
     return (int(os.environ.get("ALAYA_PRUNE_MCAP", "0")),
-            os.environ.get("ALAYA_PRUNE_BF16", "0") == "1")
+            os.environ.get("ALAYA_PRUNE_BF16", "1") == "1")
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),

@@ -130,11 +130,29 @@ class HNSWBuilder:
         ep = top_global if top_global is not None else 0
         log.info("hnsw: overlay %.1fs", time.time() - t0)
 
-        if self.use_search_pool:
+        import os
+
+        use_pool = self.use_search_pool
+        env_pools = os.environ.get("ALAYA_HNSW_POOLS", "auto")
+        if env_pools == "0" or (env_pools == "auto"
+                                and space.data.shape[1] >= 512):
+            # high-dim: the beam pools phase is gather-bound in D and
+            # dominates the build (extrapolated ~20 min at 1M x 960); the
+            # kNN ∪ reverse candidates alone carry the graph there
+            use_pool = False
+        if use_pool:
             ef = min(self.l, 128)
+            pool_space = space
+            if os.environ.get("ALAYA_POOL_BF16", "1") == "1" and \
+                    getattr(space, "user_metric", None) is not None:
+                # traversal-only bf16 copy (same measured-neutral trick as
+                # the QG pipeline): pool distances only order candidates
+                # for the prune, which re-scores in f32
+                pool_space = space.replace(
+                    data=space.data.astype(jnp.bfloat16), bf16=True)
             pool_d, pool_i = search_pool_dev(
-                space, knn_i, np.array([ep]), ef=ef, n=n, chunk=self.chunk,
-                seed=self.seed)
+                pool_space, knn_i, np.array([ep]), ef=ef, n=n,
+                chunk=self.chunk, seed=self.seed)
             cand_i = jnp.concatenate([pool_i, knn_i], axis=1)
             cand_d = jnp.concatenate([pool_d, knn_d], axis=1)
         else:
@@ -150,7 +168,7 @@ class HNSWBuilder:
         nbrs_dev = reprune_with_reverse_dev(space, nbrs_dev, rev, r=self.r,
                                             alpha=self.alpha,
                                             chunk=self.chunk)
-        if self.use_search_pool and space.metric == "ip" \
+        if space.metric == "ip" \
                 and getattr(space, "user_metric", "ip") == "ip":
             # pad rows back to r with nearest unused candidates — IP only.
             # Occlusion pruning under IP collapses rows toward high-norm

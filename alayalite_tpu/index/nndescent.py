@@ -271,6 +271,16 @@ def build_knn_graph(
             return d, i
         return jnp.asarray(d), jnp.asarray(i)
 
+    import os
+
+    dim = space.data.shape[1]
+    if (os.environ.get("ALAYA_NND_BF16", "auto") == "1"
+            or (os.environ.get("ALAYA_NND_BF16", "auto") == "auto"
+                and dim >= 256)) and getattr(space, "bf16", True) is False:
+        # high-dim rounds are gather-bound; kNN ordering is robust to bf16
+        # (candidates are re-scored exactly by the prune downstream)
+        space = space.replace(data=space.data.astype(jnp.bfloat16),
+                              bf16=True)
     s1 = max(4, int(k * sample_rate))
     s2 = max(4, int(k * sample_rate) // 2)
     s_rev = max(8, k // 2)
@@ -346,7 +356,7 @@ def _init_cluster_knn(space, n: int, k: int, seed: int, chunk: int):
     t0 = time.time()
     assign_dev = _assign_all(space, a_vecs, a_sq, chunk_starts, n=n, chunk=c)
     assign = np.asarray(assign_dev)  # one download for the host group-by
-    log.debug("cluster init: assign %.1fs", time.time() - t0)
+    log.info("cluster init: assign+download %.1fs", time.time() - t0)
 
     # host group-by: members sorted by cluster. Only the [n] permutation and
     # the tiny per-cluster tables go back up — the candidate matrix itself is

@@ -13,7 +13,15 @@ n = int(os.environ.get("ALAYA_SCALE_N", "1000000"))
 dim = int(os.environ.get("ALAYA_SCALE_DIM", "128"))   # 960 = GIST-960 shape
 nq = int(os.environ.get("ALAYA_SCALE_Q", "4096"))
 t0=time.time()
-ds = random_dataset(n=n, dim=dim, n_queries=nq, seed=42, clusters=500)
+_d_cache = f"/tmp/alaya_s1m_data_{n}_{dim}_{nq}.npz"
+if os.path.exists(_d_cache):
+    _z = np.load(_d_cache)
+    class _DS: pass
+    ds = _DS(); ds.data, ds.queries = _z["data"], _z["queries"]
+else:
+    ds = random_dataset(n=n, dim=dim, n_queries=nq, seed=42, clusters=500)
+    if dim >= 512:  # 960-d gen costs ~14 min; cache for per-config reruns
+        np.savez(_d_cache, data=ds.data, queries=ds.queries)
 print(f"# data gen {time.time()-t0:.0f}s", flush=True)
 t0=time.time()
 _gt_cache = f"/tmp/alaya_s1m_gt_{n}_{dim}_{nq}.npy"

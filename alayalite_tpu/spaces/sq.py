@@ -125,10 +125,17 @@ class SQSpace:
         dmax = jnp.max(v, axis=0)
         scale = (dmax - dmin) / float(self.levels)
         sp = self.replace(dmin=dmin, scale=jnp.maximum(scale, 1e-30))
-        c, xsq = sp._encode(v)
+        # chunked encode: one-shot materializes ~3 full-size f32 transients
+        # (~11.5 GB at 1M x 960 next to the raw space — HBM exhaustion)
+        codes, xhat_sq = sp.codes, sp.xhat_sq
+        step = max(1, min(n, int(2e8 // max(v.shape[1], 1))))
+        for lo in range(0, n, step):
+            c, xsq = sp._encode(v[lo: lo + step])
+            codes = codes.at[lo: lo + c.shape[0]].set(c)
+            xhat_sq = xhat_sq.at[lo: lo + c.shape[0]].set(xsq)
         return sp.replace(
-            codes=sp.codes.at[:n].set(c),
-            xhat_sq=sp.xhat_sq.at[:n].set(xsq),
+            codes=codes,
+            xhat_sq=xhat_sq,
             valid=sp.valid.at[:n].set(True),
             num=jnp.asarray(n, dtype=jnp.int32),
         )

@@ -273,12 +273,13 @@ def build_knn_graph(
 
     import os
 
-    dim = space.data.shape[1]
-    if (os.environ.get("ALAYA_NND_BF16", "auto") == "1"
-            or (os.environ.get("ALAYA_NND_BF16", "auto") == "auto"
-                and dim >= 256)) and getattr(space, "bf16", True) is False:
-        # high-dim rounds are gather-bound; kNN ordering is robust to bf16
-        # (candidates are re-scored exactly by the prune downstream)
+    if (os.environ.get("ALAYA_NND_BF16", "0") == "1"
+            and getattr(space, "bf16", True) is False):
+        # opt-in ONLY. Measured negative at 1M x 960 (s1m_gist3): distance
+        # concentration at high dim puts true neighbor gaps inside bf16's
+        # ~0.4% relative error, NN-Descent churn never fell below 84%, and
+        # the resulting graph searched at recall 0.22. High dim needs MORE
+        # distance precision in the rounds, not less.
         space = space.replace(data=space.data.astype(jnp.bfloat16),
                               bf16=True)
     s1 = max(4, int(k * sample_rate))

@@ -133,15 +133,19 @@ class HNSWBuilder:
         import os
 
         use_pool = self.use_search_pool
-        env_pools = os.environ.get("ALAYA_HNSW_POOLS", "auto")
-        if env_pools == "0" or (env_pools == "auto"
-                                and space.data.shape[1] >= 512):
-            # high-dim: the beam pools phase is gather-bound in D and
-            # dominates the build (extrapolated ~20 min at 1M x 960); the
-            # kNN ∪ reverse candidates alone carry the graph there
+        if os.environ.get("ALAYA_HNSW_POOLS", "1") == "0":
+            # opt-out knob; measured: kNN-only candidates COLLAPSE at high
+            # dim + scale (1M x 960: recall 0.22 — distance concentration
+            # leaves the kNN ∪ reverse edges non-navigable), while pools
+            # rescue it (20k x 960 diag: 0.9605@ef64 vs 0.868 kNN-only)
             use_pool = False
         if use_pool:
-            ef = min(self.l, 128)
+            hidim = space.data.shape[1] >= 512
+            # high-dim HBM budget: ef-64 pools + 2048-chunks keep the beam
+            # transients ~1 GB next to the f32 data + bf16 copy (ef-128 /
+            # 4096 OOM'd at 1M x 960)
+            ef = min(self.l, 64 if hidim else 128)
+            pchunk = min(self.chunk, 2048) if hidim else self.chunk
             pool_space = space
             if os.environ.get("ALAYA_POOL_BF16", "1") == "1" and \
                     getattr(space, "user_metric", None) is not None:
@@ -152,7 +156,7 @@ class HNSWBuilder:
                     data=space.data.astype(jnp.bfloat16), bf16=True)
             pool_d, pool_i = search_pool_dev(
                 pool_space, knn_i, np.array([ep]), ef=ef, n=n,
-                chunk=self.chunk, seed=self.seed)
+                chunk=pchunk, seed=self.seed)
             cand_i = jnp.concatenate([pool_i, knn_i], axis=1)
             cand_d = jnp.concatenate([pool_d, knn_d], axis=1)
         else:

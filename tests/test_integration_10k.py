@@ -54,6 +54,23 @@ def test_gist960_shaped_build_and_search():
     assert calc_recall(ids_f, gt) >= 0.99
 
 
+def test_gist960_pools_default_rescues_recall():
+    """High-dim candidate pools must stay ON by default: kNN-only candidate
+    sets collapse under distance concentration at D=960 (measured: recall
+    0.59 at this exact config with ALAYA_HNSW_POOLS=0; 0.22 at 1M x 960).
+    The slim pools config (ef=64, 2048-chunk — the HBM-budget variant for
+    dims >= 512, hnsw.py) must carry the graph to a high floor."""
+    n, dim = 2000, 960
+    d = random_dataset(n=n, dim=dim, n_queries=64, seed=29, clusters=24)
+    gt = calc_gt(d.data, d.queries, TOPK)
+    idx = Index("g960p", IndexParams(index_type="hnsw", capacity=n,
+                                     quantization_type="sq8"))
+    idx.fit(d.data)
+    ids = idx.batch_search(d.queries, TOPK, ef_search=32)
+    rec = calc_recall(ids, gt)
+    assert rec >= 0.95, f"sq8 960-d pooled-build recall {rec}"
+
+
 def test_bsq8_10k_recall_floor(ds):
     d, gt = ds
     idx = Index("b10k", IndexParams(index_type="hnsw", capacity=N,

@@ -296,5 +296,59 @@ def main() -> None:
     print(json.dumps(out), flush=True)
 
 
+def _supervise() -> int:
+    """Run the bench in a child process with a deadline, retrying on
+    infra failure.
+
+    The axon tunnel's chip claim can hang indefinitely when the remote
+    TPU worker has crashed (measured this host: a client OOM wedged the
+    pool for hours; backend init neither errors nor returns). A hung or
+    errored attempt must not eat the whole round-end bench window, so the
+    parent (which never imports jax) gives each attempt
+    ALAYA_BENCH_DEADLINE seconds (default 2400) and retries
+    ALAYA_BENCH_RETRIES times (default 2) with a 120 s gap. The child
+    inherits stdout, so the single JSON line still lands on stdout.
+    """
+    import subprocess
+
+    attempts = max(1, int(os.environ.get("ALAYA_BENCH_RETRIES", "2")))
+    deadline = float(os.environ.get("ALAYA_BENCH_DEADLINE", "2400"))
+    env = dict(os.environ, ALAYA_BENCH_CHILD="1")
+    rc = 1
+    for att in range(1, attempts + 1):
+        t0 = time.time()
+        try:
+            rc = subprocess.call([sys.executable, os.path.abspath(__file__)],
+                                 env=env, timeout=deadline)
+        except subprocess.TimeoutExpired:
+            rc = 4
+        log(f"bench attempt {att}/{attempts}: rc={rc} "
+            f"({time.time() - t0:.0f}s)")
+        if rc == 0:
+            break
+        if att < attempts:
+            time.sleep(120)
+    return rc
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("ALAYA_BENCH_CHILD") == "1":
+        import threading
+
+        _init_done = threading.Event()
+        _budget = float(os.environ.get("ALAYA_BENCH_INIT_TIMEOUT", "900"))
+
+        def _watchdog():
+            if not _init_done.wait(_budget):
+                log(f"bench: backend init exceeded {_budget:.0f}s "
+                    "(wedged chip claim); exiting 3 for supervisor retry")
+                os._exit(3)
+
+        threading.Thread(target=_watchdog, daemon=True).start()
+        import jax  # noqa: F401  (backend init happens on first devices())
+
+        jax.devices()
+        _init_done.set()
+        main()
+    else:
+        sys.exit(_supervise())

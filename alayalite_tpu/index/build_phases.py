@@ -33,6 +33,20 @@ log = logging.getLogger("alayalite_tpu")
 FINF = float("inf")
 
 
+def bf16_pool_space(space):
+    """Traversal-only bf16 copy of a raw space for the candidate-pool
+    beams (shared by the HNSW and QG builders). Pool distances only
+    order candidates for the prune, which re-scores pairs in f32;
+    measured (v5e 100k): recall unchanged (+0.001) and the pools phase
+    halves — the f32 gather+einsum was the cost. ALAYA_POOL_BF16=0
+    opts out (returns the space unchanged)."""
+    import os
+
+    if os.environ.get("ALAYA_POOL_BF16", "1") != "1":
+        return space
+    return space.replace(data=space.data.astype(jnp.bfloat16), bf16=True)
+
+
 def _chunks(n: int, chunk: int):
     """Chunk starts covering [0, n) with a possibly-overlapping tail."""
     chunk = min(chunk, n)

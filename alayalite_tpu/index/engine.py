@@ -286,7 +286,8 @@ class IndexEngine:
         # n bucketed to 1024: the sample only needs to be representative,
         # and refreshing it per insert batch would re-pay the host gather
         # on every call of the fused insert path
-        version = (n if n < 2048 else n // 1024, getattr(self, "_mutations", 0))
+        version = (("exact", n) if n < 2048 else ("bucket", n // 1024),
+                   getattr(self, "_mutations", 0))
         if (getattr(self, "_sscan", None) is None
                 or self._sscan_version != version):
             live = np.flatnonzero(np.asarray(self.space.valid[:n]))
@@ -297,13 +298,10 @@ class IndexEngine:
             ids = jnp.asarray(np.sort(rng.choice(live, size=S,
                                                  replace=False))
                               .astype(np.int32))
-            vec = self.space.data[ids].astype(jnp.float32)
-            # scan_seeds scores sq − 2·dot; for IP ordering by −2·dot ≡
-            # −dot, so zero the norms (cos keeps them: data normalized)
-            sq = (jnp.zeros((S,), jnp.float32)
-                  if self.space.user_metric == "ip"
-                  else jnp.sum(vec * vec, axis=1))
-            self._sscan = (ids, vec.astype(jnp.bfloat16), sq)
+            from .search import seed_sample_arrays
+
+            self._sscan = seed_sample_arrays(self.space.data, ids,
+                                             self.space.user_metric)
             self._sscan_version = version
         return self._sscan
 
@@ -691,7 +689,6 @@ def _reverse_candidates(src_ids: np.ndarray, dst_rows: np.ndarray):
 
 
 @functools.partial(jax.jit, static_argnames=("r",))
-@functools.partial(jax.jit, static_argnames=("r",))
 def _rewire_rows_dev(space, nbrs_dev, removed_mask, ids_dev, r: int):
     """Device-resident candidate rebuild for update(): candidates = live
     current edges ∪ removed neighbors' live edges (the 2-hop detour,
@@ -717,6 +714,7 @@ def _rewire_rows_dev(space, nbrs_dev, removed_mask, ids_dev, r: int):
     return _topr_dedup(d, cand, r)
 
 
+@functools.partial(jax.jit, static_argnames=("r",))
 def _topr_dedup(cand_d: jax.Array, cand_i: jax.Array, r: int):
     """Top-r candidates by distance with duplicate ids dropped (keep-best) —
     the reference update()'s candidate re-selection

@@ -146,14 +146,9 @@ class HNSWBuilder:
             # 4096 OOM'd at 1M x 960)
             ef = min(self.l, 64 if hidim else 128)
             pchunk = min(self.chunk, 2048) if hidim else self.chunk
-            pool_space = space
-            if os.environ.get("ALAYA_POOL_BF16", "1") == "1" and \
-                    getattr(space, "user_metric", None) is not None:
-                # traversal-only bf16 copy (same measured-neutral trick as
-                # the QG pipeline): pool distances only order candidates
-                # for the prune, which re-scores in f32
-                pool_space = space.replace(
-                    data=space.data.astype(jnp.bfloat16), bf16=True)
+            from .build_phases import bf16_pool_space
+
+            pool_space = bf16_pool_space(space)
             pool_d, pool_i = search_pool_dev(
                 pool_space, knn_i, np.array([ep]), ef=ef, n=n,
                 chunk=pchunk, seed=self.seed)

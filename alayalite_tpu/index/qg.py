@@ -76,8 +76,8 @@ class QGBuilder:
         import jax
         import jax.numpy as jnp
 
-        from .build_phases import (fill_degree_dev, prune_all_dev,
-                                   reprune_with_reverse_dev,
+        from .build_phases import (bf16_pool_space, fill_degree_dev,
+                                   prune_all_dev, reprune_with_reverse_dev,
                                    reverse_edges_dev, search_pool_dev)
 
         import os
@@ -116,12 +116,10 @@ class QGBuilder:
                 sids = jnp.asarray(np.sort(rng.choice(n, size=s,
                                                       replace=False))
                                    .astype(np.int32))
-                svec = raw_space.data[sids].astype(jnp.float32)
-                # IP: zero norms make the scan order by −2·dot ≡ −dot
-                ssq = (jnp.zeros((sids.shape[0],), jnp.float32)
-                       if raw_space.user_metric == "ip"
-                       else jnp.sum(svec * svec, axis=1))
-                sample = (sids, svec.astype(jnp.bfloat16), ssq)
+                from .search import seed_sample_arrays
+
+                sample = seed_sample_arrays(raw_space.data, sids,
+                                            raw_space.user_metric)
                 if pool_iters == 0:
                     # scan-seeded beams start 2-4 hops closer; 12 hops match
                     # 29-hop-from-medoid pool quality (scripts/ab_pool_scan.py)
@@ -129,15 +127,7 @@ class QGBuilder:
             pool_iters = int(os.environ.get("ALAYA_POOL_ITERS",
                                             pool_iters))
             knn_seed = int(os.environ.get("ALAYA_POOL_KNNSEED", "0"))
-            pool_space = raw_space
-            if os.environ.get("ALAYA_POOL_BF16", "1") == "1":
-                # traversal-only bf16 copy (default ON): pool distances
-                # only order candidates for the prune, which re-scores
-                # pairs in f32. Measured (v5e 100k, /tmp/ab_bf16.py,
-                # 2026-08-17): recall UNCHANGED (+0.001) and the pools
-                # phase halves — the f32 gather+einsum was the cost.
-                pool_space = raw_space.replace(
-                    data=raw_space.data.astype(jnp.bfloat16), bf16=True)
+            pool_space = bf16_pool_space(raw_space)
             # pool width caps at 128: ef=128 pools measured ≥ ef=200 pools
             # on the scan-seeded graph (same A/B; narrower merge, same
             # recall) — wider pools only pad the per-hop sort

@@ -103,18 +103,22 @@ def _representatives_dev(labels: jax.Array, mask: jax.Array) -> jax.Array:
 
 @partial(jax.jit, donate_argnums=(0, 3))
 def _attach_dev(nbrs: jax.Array, reps: jax.Array, srcs: jax.Array,
-                used: jax.Array) -> tuple:
+                protected: jax.Array) -> tuple:
     """Write edge src→rep for every valid (rep, src) pair. Pairs are
     grouped by src; the k-th pair of a src takes the row's k-th
-    *preferred* slot, where the preference order is empty slots first
-    (in position order) then occupied slots FROM THE ROW'S END — rows
-    are distance-sorted, so overflow clobbers the worst build edge, not
-    the best (clobbering slot 0 of a thin scan-built graph re-disconnects
-    whole subtrees and makes the repair oscillate — measured at 1M).
-    ``used[row]`` counts repair edges already written into the row in
-    prior rounds and advances the preference cursor past them, so a
-    later round never clobbers an earlier round's bridge (the second
-    oscillation mode). Returns (nbrs, used) updated."""
+    *preferred* slot, where the preference order is unprotected empty
+    slots first (in position order), then unprotected occupied slots
+    FROM THE ROW'S END — rows are distance-sorted, so overflow clobbers
+    the worst build edge, not the best (clobbering slot 0 of a thin
+    scan-built graph re-disconnects whole subtrees and makes the repair
+    oscillate — measured at 1M). ``protected[row, slot]`` marks slots
+    holding a prior round's repair bridge; they sort LAST, so a later
+    round never silently overwrites a bridge (the second oscillation
+    mode: a cursor over a per-round-recomputed permutation landed
+    exactly on the previous round's bridge once that bridge flipped the
+    slot from empty to occupied-near-the-end). Protected slots are only
+    reused if every slot of the row is already a bridge. Returns
+    (nbrs, protected) updated."""
     n, r = nbrs.shape
     k = reps.shape[0]
     valid = (reps < n) & (srcs >= 0)
@@ -129,16 +133,19 @@ def _attach_dev(nbrs: jax.Array, reps: jax.Array, srcs: jax.Array,
     rank = idx - group_start
     s_safe = jnp.where(v, s, 0)
     rows = nbrs[s_safe]                              # [K, R]
+    prot = protected[s_safe]                         # [K, R]
     col = jnp.arange(r, dtype=jnp.int32)[None, :]
-    # preference key: empties ascending (0..r-1), occupied descending
-    # from the end (2r..3r-1 reversed) — argsort yields the policy above
+    # preference key: unprotected empties ascending (0..r-1), unprotected
+    # occupied descending from the end (2r..3r-1 reversed), protected
+    # last (4r..5r-1) — argsort yields the policy above
     pref_key = jnp.where(rows < 0, col, 3 * r - 1 - col)
+    pref_key = jnp.where(prot, 4 * r + col, pref_key)
     perm = jnp.argsort(pref_key, axis=1)
-    pos = (used[s_safe] + rank) % r
+    pos = rank % r
     slot = perm[idx, pos].astype(jnp.int32)
     nbrs = nbrs.at[jnp.where(v, s, n), slot].set(u, mode="drop")
-    used = used.at[jnp.where(v, s, n)].add(1, mode="drop")
-    return nbrs, used
+    protected = protected.at[jnp.where(v, s, n), slot].set(True, mode="drop")
+    return nbrs, protected
 
 
 def repair_connectivity_dev(space, nbrs: jax.Array, ep: int,
@@ -146,14 +153,15 @@ def repair_connectivity_dev(space, nbrs: jax.Array, ep: int,
                             tol: float = 2e-4) -> jax.Array:
     """Device-resident repair loop; same convergence contract as the host
     _attach_unreached (residual unreachable ≤ tol·n, verified by a full
-    BFS from scratch since slot rotation can clobber prior repair edges).
-    Only scalars and ≤REP_CAP-id vectors cross the host boundary."""
+    BFS from scratch — bridges are slot-protected across rounds, but a
+    fully-bridged row wraps and may clobber). Only scalars and ≤REP_CAP-id
+    vectors cross the host boundary."""
     n = nbrs.shape[0]
     from ..ops.distance import exact_topk
 
     seed = jnp.zeros(n, jnp.bool_).at[ep].set(True)
     reached = _expand_reached_dev(nbrs, seed)
-    used = jnp.zeros(n, jnp.int32)
+    protected = jnp.zeros(nbrs.shape, jnp.bool_)
     verified = True
     for _round in range(max_rounds):
         missing = int(jnp.sum(~reached))
@@ -178,7 +186,7 @@ def repair_connectivity_dev(space, nbrs: jax.Array, ep: int,
         qs = data[jnp.minimum(reps, n - 1)]
         _, near = exact_topk(qs, data, 1, metric=space.metric, valid=reached)
         srcs = jnp.asarray(near[:, 0])
-        nbrs, used = _attach_dev(nbrs, reps, srcs, used)
+        nbrs, protected = _attach_dev(nbrs, reps, srcs, protected)
         reached = _expand_reached_dev(nbrs, reached)
     return nbrs
 

@@ -445,6 +445,20 @@ def graph_search_device(
     return d.reshape(Q, k), i.reshape(Q, k)
 
 
+def seed_sample_arrays(data: jax.Array, ids: jax.Array, user_metric):
+    """Build the (ids, vecs bf16, sq_norms) triple scan_seeds consumes.
+
+    One place for the metric rule shared by the engine's search-time
+    sample, the QG build's pool scan, and the sharded block search:
+    scan_seeds scores ``sq − 2·dot``; under IP the ordering must be by
+    ``−dot`` alone, so the norms are zeroed (cos keeps them — data is
+    normalized at insert)."""
+    vec = data[ids].astype(jnp.float32)
+    sq = (jnp.zeros((vec.shape[0],), jnp.float32) if user_metric == "ip"
+          else jnp.sum(vec * vec, axis=1))
+    return ids, vec.astype(jnp.bfloat16), sq
+
+
 def scan_seeds(q: jax.Array, sample_ids: jax.Array, sample_vecs: jax.Array,
                sample_sq: jax.Array, nseed: int = 8) -> jax.Array:
     """Per-query entry points from ONE MXU pass over a point sample.

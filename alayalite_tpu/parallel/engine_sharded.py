@@ -116,8 +116,12 @@ class ShardedEngine:
         return make_mesh(n_devices=self.ndb, dp=1, devices=devs)
 
     def _version(self):
-        return tuple(int(sh.space.num) for sh in self.shards) + tuple(
-            getattr(sh, "_mutations", 0) for sh in self.shards)
+        # host-tracked only: every mutating path here (fit/insert/remove/
+        # compact) already drops self._leaves, and per-shard _mutations
+        # catches engine-internal rewires. int(sh.space.num) would be a
+        # blocking device->host sync per shard per SEARCH (~35 ms each
+        # through the TPU tunnel) for a check the invalidation covers.
+        return tuple(getattr(sh, "_mutations", 0) for sh in self.shards)
 
     def _assemble_leaves(self, mesh):
         """Concatenate per-shard space arrays and place them row-sharded

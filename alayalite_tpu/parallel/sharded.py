@@ -335,10 +335,9 @@ def db_sharded_block_search(mesh: Mesh, leaves, metric: str,
         # the query matter — shared eps alone under-reach them
         step = max(1, shard_rows // 1024)
         sids = jnp.arange(0, shard_rows, step, dtype=jnp.int32)
-        svec = data[sids].astype(jnp.float32)
-        ssq = (jnp.zeros((sids.shape[0],), jnp.float32) if metric == "ip"
-               else jnp.sum(svec * svec, axis=1))
-        scan = scan_seeds(qj, sids, svec.astype(jnp.bfloat16), ssq,
+        from ..index.search import seed_sample_arrays
+
+        scan = scan_seeds(qj, *seed_sample_arrays(data, sids, metric),
                           nseed=min(8, sids.shape[0]))
         seeds = jnp.concatenate([scan, seeds], axis=1)
         d, i = block_beam_search(space, seeds, qj, k=k, ef=ef,

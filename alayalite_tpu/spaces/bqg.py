@@ -118,10 +118,18 @@ class BQGSpace:
         roundtrip would take minutes through a TPU tunnel)."""
         n = int(self.num)
         r = self.degree
-        nbrs = np.asarray(nbrs[:n, :r], dtype=np.int32)
-        if nbrs.shape[1] < r:
-            nbrs = np.pad(nbrs, ((0, 0), (0, r - nbrs.shape[1])),
-                          constant_values=-1)
+        if isinstance(nbrs, jax.Array):
+            # device-resident adjacency (repair_connectivity_dev output):
+            # slice/pad on device, skip the host roundtrip entirely
+            nbrs = nbrs[:n, :r].astype(jnp.int32)
+            if nbrs.shape[1] < r:
+                nbrs = jnp.pad(nbrs, ((0, 0), (0, r - nbrs.shape[1])),
+                               constant_values=-1)
+        else:
+            nbrs = np.asarray(nbrs[:n, :r], dtype=np.int32)
+            if nbrs.shape[1] < r:
+                nbrs = np.pad(nbrs, ((0, 0), (0, r - nbrs.shape[1])),
+                              constant_values=-1)
         nbrs_dev = self.nbr_ids.at[:n].set(jnp.asarray(nbrs))
         codes = self.nbr_codes
         xsq = self.nbr_xsq

@@ -83,9 +83,9 @@ def test_attach_prefers_empty_slots_and_never_self_clobbers():
     srcs = np.full(8192, -1, np.int32)
     reps[:5] = [10, 11, 12, 13, 14]
     srcs[:5] = [5, 5, 5, 9, 9]
-    used = jnp.zeros(n, jnp.int32)
-    out, used = _attach_dev(jnp.asarray(nbrs), jnp.asarray(reps),
-                            jnp.asarray(srcs), used)
+    prot = jnp.zeros((n, r), jnp.bool_)
+    out, prot = _attach_dev(jnp.asarray(nbrs), jnp.asarray(reps),
+                            jnp.asarray(srcs), prot)
     out = np.asarray(out)
     row5 = out[5].tolist()
     # both empties used, third rep overflows into an occupied slot
@@ -95,7 +95,7 @@ def test_attach_prefers_empty_slots_and_never_self_clobbers():
     row9 = out[9].tolist()
     # full row: worst (last) edges clobbered first, best edge kept
     assert row9 == [1, 2, 14, 13]
-    assert np.asarray(used)[5] == 3 and np.asarray(used)[9] == 2
+    assert np.asarray(prot)[5].sum() == 3 and np.asarray(prot)[9].sum() == 2
     # untouched rows stay untouched
     assert np.all(out[0] == -1)
 
@@ -110,15 +110,45 @@ def test_attach_cursor_preserves_prior_round_bridges():
     srcs = np.full(8192, -1, np.int32)
     reps[0] = 11
     srcs[0] = 3
-    used = jnp.zeros(n, jnp.int32)
-    out, used = _attach_dev(jnp.asarray(nbrs), jnp.asarray(reps),
-                            jnp.asarray(srcs), used)
+    prot = jnp.zeros((n, r), jnp.bool_)
+    out, prot = _attach_dev(jnp.asarray(nbrs), jnp.asarray(reps),
+                            jnp.asarray(srcs), prot)
     assert np.asarray(out)[3].tolist() == [7, 8, 9, 11]
     reps2 = reps.copy(); reps2[0] = 12
-    out2, used = _attach_dev(out, jnp.asarray(reps2), jnp.asarray(srcs),
-                             used)
+    out2, prot = _attach_dev(out, jnp.asarray(reps2), jnp.asarray(srcs),
+                             prot)
     # round-2 edge lands one slot earlier; round-1 bridge intact
     assert np.asarray(out2)[3].tolist() == [7, 8, 12, 11]
+
+
+def test_attach_rounds_fill_remaining_empties_before_clobbering():
+    """A row with 2+ empty slots attached across SUCCESSIVE rounds: the
+    later round must take the remaining empty slot, not overwrite the
+    earlier round's bridge (the cursor-over-shifting-permutation bug:
+    once round 1's bridge flipped slot 2 to occupied-near-the-end, a
+    cursor pos=1 into the recomputed permutation landed exactly on it)."""
+    n, r = 16, 4
+    nbrs = np.full((n, r), -1, np.int32)
+    nbrs[3] = [7, 8, -1, -1]
+    reps = np.full(8192, n, np.int32)
+    srcs = np.full(8192, -1, np.int32)
+    reps[0] = 11
+    srcs[0] = 3
+    prot = jnp.zeros((n, r), jnp.bool_)
+    out, prot = _attach_dev(jnp.asarray(nbrs), jnp.asarray(reps),
+                            jnp.asarray(srcs), prot)
+    assert np.asarray(out)[3].tolist() == [7, 8, 11, -1]
+    reps2 = reps.copy(); reps2[0] = 12
+    out2, prot = _attach_dev(out, jnp.asarray(reps2), jnp.asarray(srcs),
+                             prot)
+    # the genuinely-empty slot 3 is used; round-1 bridge 11 intact
+    assert np.asarray(out2)[3].tolist() == [7, 8, 11, 12]
+    # a third round on the now-full row clobbers a BUILD edge (from the
+    # end), never a bridge
+    reps3 = reps.copy(); reps3[0] = 13
+    out3, prot = _attach_dev(out2, jnp.asarray(reps3), jnp.asarray(srcs),
+                             prot)
+    assert np.asarray(out3)[3].tolist() == [7, 13, 11, 12]
 
 
 @pytest.mark.parametrize("seed", [0, 1])

@@ -26,7 +26,6 @@ Search semantics match the reference:
 from __future__ import annotations
 
 import functools
-import json
 import logging
 import os
 import time
@@ -40,7 +39,6 @@ from ..ops.distance import exact_topk
 from ..params import IndexParams, IndexType, QuantizationType
 from .graph import Graph
 from .prune import occlusion_prune
-from .search import beam_search, graph_seeds
 
 log = logging.getLogger("alayalite_tpu")
 
@@ -75,6 +73,27 @@ def _make_space(params: IndexParams, capacity: int, dim: int):
 
     return RawSpace.create(capacity, dim, metric=params.metric.value,
                            storage_dtype=params.storage_dtype)
+
+
+def _quant_space_type(params: IndexParams):
+    """Quantized-space CLASS for params (load path: avoids instantiating a
+    throwaway space — RaBitQSpace.create runs an O(D^3) QR just to be
+    replaced by the saved rotation)."""
+    if params.quantization_type is QuantizationType.NONE:
+        return None
+    if params.quantization_type in (QuantizationType.SQ8,
+                                    QuantizationType.SQ4):
+        from ..spaces.sq import SQSpace
+
+        return SQSpace
+    if params.quantization_type in (QuantizationType.RABITQ,
+                                    QuantizationType.RABITQ2):
+        from ..spaces.rabitq import RaBitQSpace
+
+        return RaBitQSpace
+    from ..spaces.bqg import BQGSpace
+
+    return BQGSpace
 
 
 def _make_quant_space(params: IndexParams, capacity: int, dim: int):
@@ -196,7 +215,11 @@ class IndexEngine:
             fast = self.params.flat_mode == "fast"
             if fast:
                 return self._flat_fast_search(q, topk)
-            d, i = exact_topk(q, self.space.data.astype(jnp.float32),
+            # prep_query normalizes for cos — without it the returned
+            # distances are −q·x scaled by the raw query norm, diverging
+            # from every other path's −cos convention
+            d, i = exact_topk(self.space.prep_query(jnp.asarray(q)),
+                              self.space.data.astype(jnp.float32),
                               topk, metric=self.space.metric,
                               valid=np.asarray(self.space.valid))
             return i, d
@@ -243,23 +266,31 @@ class IndexEngine:
                                                          "search_iters", 0),
                                        n_expand=m, qchunk=qchunk,
                                        seed_sample=seed_arrays)
-            return np.asarray(i)[:nq], np.asarray(d)[:nq]
+            d = np.asarray(d)[:nq]
+            if self.space.user_metric == "cos":
+                # block spaces compute squared L2 of normalized vectors
+                # (2 − 2cos); convert to the −cos convention every other
+                # path returns (reference: normalize-then-IP)
+                d = np.where(np.isfinite(d), d / 2.0 - 1.0, d)
+            return np.asarray(i)[:nq], d
         from .search import graph_search_device
 
+        iters = int(getattr(self.params, "search_iters", 0))
         if self.search_space is self.space:
             d, i = graph_search_device(
                 self.space, self.graph.nbrs, self.graph.eps,
-                self.graph.overlay, qj, k=topk, ef=ef,
+                self.graph.overlay, qj, k=topk, ef=ef, max_iters=iters,
                 valid=self.space.valid, n_expand=m, qchunk=qchunk)
         else:
             # quantized traversal: pool of ef ids, exact rerank in build space
             d_q, pool = graph_search_device(
                 self.search_space, self.graph.nbrs, self.graph.eps,
-                self.graph.overlay, qj, k=ef, ef=ef,
+                self.graph.overlay, qj, k=ef, ef=ef, max_iters=iters,
                 valid=self.space.valid, n_expand=m, qchunk=qchunk,
                 exact_rerank=False)
-            d, i = _rerank(self.space, self.space.prep_query(jnp.asarray(q)),
-                           pool, topk)
+            d, i = _rerank_exact(self.space,
+                                 self.space.prep_query(jnp.asarray(q)),
+                                 pool, topk)
         return np.asarray(i)[:nq], np.asarray(d)[:nq]
 
     def batch_search(self, queries, topk: int, ef: int = 100,
@@ -474,6 +505,14 @@ class IndexEngine:
         batched compaction rewires every affected node through the removed
         nodes' 2-hop neighborhoods (the reference's lazy update() pass)."""
         self._require_fitted()
+        raw = np.atleast_1d(np.asarray(ids))
+        if raw.size and (raw.min() < 0 or raw.max() >= self.space.capacity):
+            # the spaces clip ids into range before scattering the
+            # tombstone — an out-of-range id (e.g. a stale 64-bit id)
+            # would silently remove whatever lives at the clip target
+            raise ValueError(
+                f"remove: id out of range [0, {self.space.capacity}) "
+                f"(got min={raw.min()}, max={raw.max()})")
         self._mutations = getattr(self, "_mutations", 0) + 1
         arr = jnp.atleast_1d(jnp.asarray(ids, dtype=jnp.int32))
         self.space = self.space.remove(arr)
@@ -634,9 +673,9 @@ class IndexEngine:
         if qf is not None:
             qpath = os.path.join(directory, qf + ".npz")
             if os.path.exists(qpath):
-                qspace = _make_quant_space(params, eng.space.capacity, eng.space.dim)
+                qtype = _quant_space_type(params)
                 with np.load(qpath, allow_pickle=False) as z:
-                    eng.search_space = type(qspace).load_arrays(dict(z.items()))
+                    eng.search_space = qtype.load_arrays(dict(z.items()))
         eng._fitted = True
         return eng
 
@@ -726,20 +765,12 @@ def _topr_dedup(cand_d: jax.Array, cand_i: jax.Array, r: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _rerank(space, q: jax.Array, pool: jax.Array, k: int):
-    """Exact-distance rerank of quantized-search candidates
-    (reference: index.hpp:450-488)."""
-    safe = jnp.where(pool >= 0, pool, 0)
-    d = space.gather_dists(q, safe)
-    d = jnp.where(pool >= 0, d, jnp.inf)
-    nd, sel = jax.lax.top_k(-d, k)
-    ids = jnp.take_along_axis(pool, sel, axis=1)
-    return -nd, jnp.where(jnp.isfinite(-nd), ids, -1)
-
-
-@functools.partial(jax.jit, static_argnames=("k",))
 def _rerank_exact(space, q: jax.Array, pool: jax.Array, k: int):
-    """Exact (HIGHEST-precision) distances for already-selected ids."""
+    """Exact (HIGHEST-precision) final rerank of quantized-search
+    candidates (reference: index.hpp:450-488). This is the user-facing
+    re-score — RawSpace.gather_dists' fast-precision einsum is for
+    traversal ordering only (raw.py's own contract) and misorders
+    near-ties at ~0.4% relative error."""
     safe = jnp.where(pool >= 0, pool, 0)
     vecs = space.data[safe].astype(jnp.float32)
     dot = jnp.einsum("bkd,bd->bk", vecs, q,

@@ -250,14 +250,15 @@ def overlay_descend(space, level_ids, level_nbrs, level_down,
     return level_down[cur]
 
 
-def graph_seeds(graph, space, queries: jax.Array, num_seeds: int = 0) -> jax.Array:
+def graph_seeds(space, eps: jax.Array, overlay, queries: jax.Array
+                ) -> jax.Array:
     """Compute seed ids for beam search: overlay greedy descent if the graph
     has one (graph.hpp initialize_search), else the stored entry points."""
     B = queries.shape[0]
-    if len(graph.overlay) == 0:
-        return jnp.broadcast_to(graph.eps[None, :], (B, graph.eps.shape[0]))
+    if len(overlay) == 0:
+        return jnp.broadcast_to(eps[None, :], (B, eps.shape[0]))
     cur = jnp.zeros((B,), dtype=jnp.int32)  # top level entry: local slot 0
-    for lvl in graph.overlay:
+    for lvl in overlay:
         cur = overlay_descend(space, lvl.ids, lvl.nbrs, lvl.down, cur, queries)
     return cur[:, None]
 
@@ -409,16 +410,8 @@ def graph_search_device(
     Q, D = q_all.shape
     S = Q // qchunk
 
-    def seeds_for(q):
-        if len(overlay) == 0:
-            return jnp.broadcast_to(eps[None, :], (q.shape[0], eps.shape[0]))
-        cur = jnp.zeros((q.shape[0],), dtype=jnp.int32)
-        for lvl in overlay:
-            cur = overlay_descend(space, lvl.ids, lvl.nbrs, lvl.down, cur, q)
-        return cur[:, None]
-
     def one(q):
-        seeds = seeds_for(q)
+        seeds = graph_seeds(space, eps, overlay, q)
         d, i = beam_search(space, nbrs, seeds, q, k=k, ef=ef,
                            max_iters=max_iters, valid=valid,
                            n_expand=n_expand, visited_mode=visited_mode,

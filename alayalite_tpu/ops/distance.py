@@ -258,8 +258,13 @@ def flat_search_device(
     Q, D = q_all.shape
     S = Q // qchunk
 
+    # coarse width can't exceed the scan tile (small slabs: capacity 100
+    # pads to tile_n=128 while rerank defaults to 4*topk — top_k past the
+    # reduction width is an XLA error; exact_topk guards the same way)
+    coarse_k = min(max(k, rerank), min(tile_n, x.shape[0]))
+
     def one(q):
-        d, i = _exact_topk_device(q, x, x_sq, valid, k=max(k, rerank),
+        d, i = _exact_topk_device(q, x, x_sq, valid, k=coarse_k,
                                   metric=metric, tile_n=tile_n, bf16=True,
                                   approx=True, group=1)
         return _rerank_device(q, x, x_sq, i, k=k, metric=metric)

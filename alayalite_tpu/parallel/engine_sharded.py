@@ -213,6 +213,12 @@ class ShardedEngine:
                 n_expand=self.params.beam_expand)
         ids = self._remap(np.asarray(i))
         d = np.where(ids >= 0, np.asarray(d), np.inf)
+        if (self.params.index_type is not IndexType.FLAT
+                and self.params.metric.value == "cos"):
+            # block spaces score squared L2 of normalized vectors
+            # (2 − 2cos); match the engine's −cos convention (the
+            # per-shard fallback inherits it from IndexEngine)
+            d = np.where(np.isfinite(d), d / 2.0 - 1.0, d)
         return ids.astype(self._id_dtype, copy=False), d
 
     def _search_fallback(self, q, topk: int, ef: int):

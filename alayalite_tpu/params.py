@@ -167,11 +167,15 @@ class IndexParams:
         # 2³¹ nodes; one chip's HBM cannot hold that many vectors, so
         # beyond-int32 capacity must shard across chips (parallel/sharded)
         # rather than widen ids. Fail loudly instead of overflowing.
-        if int(self.capacity) > 2**31 - 2:
+        if int(self.capacity) > 2**30 - 1:
+            # the limit is the PACKED sort payload, not bare int32: the
+            # top-k merge units pack id*2+flag into one int32 lane
+            # (ops/topk.py), so ids must fit 30 bits + sign
             raise ValueError(
-                "capacity exceeds int32 node-id range (2**31 - 2); "
-                "single-device ids are int32 — shard the database across "
-                "devices (db_shards) for larger collections")
+                "capacity exceeds the packed node-id range (2**30 - 1; "
+                "ids ride int32 sort lanes as id*2+flag) — shard the "
+                "database across devices (db_shards) for larger "
+                "collections")
         if int(self.max_nbrs) <= 0:
             raise ValueError("max_nbrs must be positive")
         self.capacity = int(self.capacity)

@@ -117,6 +117,8 @@ class BQGSpace:
         with buffer donation (at 1M the code tensor is ~4 GB — a host
         roundtrip would take minutes through a TPU tunnel)."""
         n = int(self.num)
+        if n == 0:
+            return self  # nothing stored yet: no blocks to encode
         r = self.degree
         if isinstance(nbrs, jax.Array):
             # device-resident adjacency (repair_connectivity_dev output):

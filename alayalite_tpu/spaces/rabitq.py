@@ -130,7 +130,7 @@ class RaBitQSpace:
     @staticmethod
     def create(capacity: int, dim: int, metric: str = "l2",
                seed: int = 0, rotator: str = "matrix",
-               bits: int = 1) -> "RaBitQSpace":
+               bits: int = 1, rot=None) -> "RaBitQSpace":
         metric = metric.lower()
         if metric not in ("l2", "cos"):
             # the estimator is an L2 residual construction
@@ -144,8 +144,9 @@ class RaBitQSpace:
             raise ValueError("rabitq requires dim to be a multiple of 8")
         if rotator not in ("matrix", "fht_kac"):
             raise ValueError(f"unknown rotator {rotator!r}")
-        rot = (make_fht_kac_rotation(dim, seed) if rotator == "fht_kac"
-               else make_rotation(dim, seed))
+        if rot is None:  # load path passes the saved rotation: skip the QR
+            rot = (make_fht_kac_rotation(dim, seed) if rotator == "fht_kac"
+                   else make_rotation(dim, seed))
         if bits not in (1, 2):
             raise ValueError("rabitq bits must be 1 or 2")
         return RaBitQSpace(
@@ -191,6 +192,8 @@ class RaBitQSpace:
         Device-resident: bits pack on device (little-endian, matching
         _unpack_bits_jnp) and accumulate into donated buffers."""
         n = int(self.num)
+        if n == 0:
+            return self  # nothing stored yet: no blocks to encode
         if isinstance(nbrs, jax.Array):
             # device-resident adjacency (repair_connectivity_dev output):
             # slice/pad on device, skip the host roundtrip entirely
@@ -335,11 +338,11 @@ class RaBitQSpace:
         data = np.asarray(d["data"], dtype=np.float32)
         sp = RaBitQSpace.create(data.shape[0], data.shape[1],
                                 metric=str(d["metric"]),
-                                bits=int(d.get("bits", 1)))
+                                bits=int(d.get("bits", 1)),
+                                rot=np.asarray(d["rot"], dtype=np.float32))
         return sp.replace(
             data=jnp.asarray(data),
             sq_norms=jnp.asarray((data * data).sum(-1), dtype=jnp.float32),
-            rot=jnp.asarray(d["rot"], dtype=jnp.float32),
             nbr_ids=jnp.asarray(d["nbr_ids"], dtype=jnp.int32),
             nbr_bits=jnp.asarray(d["nbr_bits"], dtype=jnp.uint8),
             f_add=jnp.asarray(d["f_add"], dtype=jnp.float32),

@@ -22,7 +22,7 @@ def test_beam_search_recall_on_knn_graph():
     # for the connectivity repair that real builders perform.
     graph = Graph.from_numpy(nbrs, eps=list(range(0, 2000, 31)), capacity=2048)
     q = space.prep_query(jnp.asarray(ds.queries))
-    seeds = graph_seeds(graph, space, q)
+    seeds = graph_seeds(space, graph.eps, graph.overlay, q)
     d, ids = beam_search(space, graph.nbrs, seeds, q, k=10, ef=64,
                          valid=space.valid)
     rec = calc_recall(np.asarray(ids), ds.gt)
@@ -40,7 +40,7 @@ def test_beam_search_ip_metric():
     _, nbrs = exact_knn(ds.data, 20, metric="ip")
     graph = Graph.from_numpy(nbrs, eps=list(range(0, 1500, 37)))
     q = space.prep_query(jnp.asarray(ds.queries))
-    seeds = graph_seeds(graph, space, q)
+    seeds = graph_seeds(space, graph.eps, graph.overlay, q)
     _, ids = beam_search(space, graph.nbrs, seeds, q, k=5, ef=96, valid=space.valid)
     rec = calc_recall(np.asarray(ids), ds.gt)
     assert rec >= 0.75, f"recall {rec}"
@@ -54,7 +54,7 @@ def test_beam_search_respects_tombstones():
     # tombstone every even id
     space = space.remove(jnp.arange(0, 1000, 2))
     q = space.prep_query(jnp.asarray(ds.queries))
-    seeds = graph_seeds(graph, space, q)
+    seeds = graph_seeds(space, graph.eps, graph.overlay, q)
     _, ids = beam_search(space, graph.nbrs, seeds, q, k=10, ef=32, valid=space.valid)
     ids = np.asarray(ids)
     assert (ids % 2 != 0).all() or (ids == -1).any() is False
@@ -68,7 +68,7 @@ def test_ring_and_bitmask_modes_agree():
     _, nbrs = exact_knn(ds.data, 16)
     graph = Graph.from_numpy(nbrs, eps=np.arange(0, 1500, 16, dtype=np.int32))
     q = space.prep_query(jnp.asarray(ds.queries))
-    seeds = graph_seeds(graph, space, q)
+    seeds = graph_seeds(space, graph.eps, graph.overlay, q)
     recalls = {}
     for mode in ("ring", "bitmask"):
         _, ids = beam_search(space, graph.nbrs, seeds, q, k=10, ef=48,

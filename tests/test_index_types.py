@@ -100,6 +100,10 @@ def test_id_type_honored_or_loud(ds):
     assert np.asarray(new).dtype == np.int64
     with pytest.raises(ValueError, match="int32"):
         IndexParams(capacity=2**31)
+    # the true ceiling is the packed id*2+flag sort lane (ops/topk.py):
+    # ids >= 2**30 would wrap negative inside the merge units
+    with pytest.raises(ValueError, match="packed"):
+        IndexParams(capacity=2**30)
 
 
 def test_rabitq_ip_rejected_loudly():

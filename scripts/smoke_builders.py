@@ -15,7 +15,7 @@ for name, builder in [("nsg", NSGBuilder(r=16, l=64, chunk=1024)),
     t0=time.time()
     g = builder.build_graph(space)
     q = space.prep_query(jnp.asarray(ds.queries))
-    seeds = graph_seeds(g, space, q)
+    seeds = graph_seeds(space, g.eps, g.overlay, q)
     d, ids = beam_search(space, g.nbrs, seeds, q, k=10, ef=64, valid=space.valid)
     rec = calc_recall(np.asarray(ids), ds.gt)
     print(name, "recall", rec, "build_s", round(time.time()-t0,1), "overlay", len(g.overlay))

@@ -17,7 +17,7 @@ t0=time.time(); idx.fit(ds.data); print(f"# build {time.time()-t0:.0f}s", flush=
 eng = idx._engine
 space, graph = eng.space, eng.graph
 q = space.prep_query(jnp.asarray(ds.queries))
-seeds = graph_seeds(graph, space, q)
+seeds = graph_seeds(space, graph.eps, graph.overlay, q)
 
 def run(ef, m, iters):
     d, i = beam_search(space, graph.nbrs, seeds, q, k=10, ef=ef,

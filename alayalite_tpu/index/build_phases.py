@@ -259,8 +259,10 @@ def reverse_edges_dev(nbrs: jax.Array, key: jax.Array,
     slot = jax.random.randint(key, (n, r), 0, width)
     rev = jnp.full((n, width), -1, dtype=jnp.int32)
     ok = nbrs >= 0
-    rev = rev.at[jnp.where(ok, nbrs, 0).reshape(-1), slot.reshape(-1)].set(
-        jnp.where(ok, src, -1).reshape(-1), mode="drop")
+    # invalid edges scatter to sentinel row n and DROP — routing them to
+    # row 0 with value -1 would clobber node 0's valid reverse samples
+    rev = rev.at[jnp.where(ok, nbrs, n).reshape(-1), slot.reshape(-1)].set(
+        src.reshape(-1), mode="drop")
     return rev
 
 

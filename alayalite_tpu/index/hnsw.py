@@ -34,7 +34,6 @@ import numpy as np
 from .graph import Graph, OverlayLevel
 from .knn import exact_knn
 from .nndescent import build_knn_graph
-from .nsg import _attach_unreached
 
 log = logging.getLogger("alayalite_tpu")
 
@@ -180,8 +179,11 @@ class HNSWBuilder:
                                        chunk=self.chunk)
         log.info("hnsw: reverse %.1fs", time.time() - t0)
 
-        nbrs = np.array(nbrs_dev)  # single adjacency download
-        nbrs = _attach_unreached(space, nbrs, ep, ef=64, chunk=self.chunk)
+        from .repair_dev import repair_connectivity
+
+        # unified repair dispatch: device-resident at >200k rows (no bulk
+        # adjacency download), host numpy BFS below
+        nbrs = repair_connectivity(space, nbrs_dev, ep)
         log.info("HNSW build: n=%d r=%d l=%d levels=%d in %.2fs",
                  n, self.r, self.l, len(overlay), time.time() - t0)
         extra = rng.integers(0, n, size=7).astype(np.int32)

@@ -95,9 +95,10 @@ def _nnd_reverse_sample(knn_i: jax.Array, key: jax.Array, s1: int,
     src = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, s1))
     slot = jax.random.randint(k_slot, (N, s1), 0, s_rev)
     rev = jnp.full((N, s_rev), -1, dtype=jnp.int32)
-    rev = rev.at[jnp.where(mid >= 0, mid, 0).reshape(-1),
-                 slot.reshape(-1)].set(
-        jnp.where(mid >= 0, src, -1).reshape(-1), mode="drop")
+    # invalid targets scatter to sentinel row N and DROP (routing them to
+    # row 0 with value -1 would clobber node 0's reverse samples)
+    rev = rev.at[jnp.where(mid >= 0, mid, N).reshape(-1),
+                 slot.reshape(-1)].set(src.reshape(-1), mode="drop")
     return mid, rev
 
 

@@ -28,7 +28,6 @@ import numpy as np
 from .graph import Graph
 from .nndescent import build_knn_graph
 from .prune import add_reverse_edges, occlusion_prune  # noqa: F401 (legacy host path, used by engine.insert)
-from .search import beam_search
 
 log = logging.getLogger("alayalite_tpu")
 
@@ -112,8 +111,7 @@ def _expand_reached(nbrs: np.ndarray, reached: np.ndarray,
         frontier = nxt
 
 
-def _attach_unreached(space, nbrs: np.ndarray, ep: int, ef: int,
-                      chunk: int) -> np.ndarray:
+def _attach_unreached(space, nbrs: np.ndarray, ep: int) -> np.ndarray:
     """Connectivity repair (tree_grow/attach_unlinked analog,
     nsg_builder.hpp:500-628): BFS from ep, then add ONE edge per unreached
     *component* — from the component representative's nearest reached node —
@@ -203,6 +201,12 @@ class NSGBuilder:
 
     def build_graph(self, space, n: Optional[int] = None) -> Graph:
         t0 = time.time()
+        if self.c <= self.r:
+            # the reverse-edge table width is c - r; fail before minutes
+            # of kNN/pool work instead of inside jax.random.randint
+            raise ValueError(
+                f"NSGBuilder requires c > r (candidate cut wider than the "
+                f"degree); got c={self.c}, r={self.r}")
         if n is None:
             n = int(space.num)
         from .build_phases import (prune_all_dev, reprune_with_reverse_dev,
@@ -213,7 +217,6 @@ class NSGBuilder:
             as_numpy=False)
         ep = find_medoid(space, n)
 
-        ef = min(self.l, max(self.r + 1, 16))
         pool_d, pool_i = search_pool_dev(
             space, knn_i, np.array([ep]), ef=self.l, n=n, chunk=self.chunk,
             seed=self.seed)
@@ -228,8 +231,9 @@ class NSGBuilder:
                                             alpha=self.alpha,
                                             chunk=self.chunk)
 
-        nbrs = np.array(nbrs_dev)  # single adjacency download
-        nbrs = _attach_unreached(space, nbrs, ep, ef=ef, chunk=self.chunk)
+        from .repair_dev import repair_connectivity
+
+        nbrs = repair_connectivity(space, nbrs_dev, ep)
         log.info("NSG build: n=%d r=%d l=%d in %.2fs", n, self.r, self.l,
                  time.time() - t0)
         # medoid entry point first (NSG semantics) + spread extras so queries

@@ -139,10 +139,18 @@ def extend_overlay(graph: Graph, space, new_ids: np.ndarray,
             c_vecs = np.asarray(space.data[jnp.asarray(ids[c_slots])]
                                 .astype(jnp.float32))
             cd = _batch_dists(space, c_vecs, ids[nbrs[c_slots]])
+            # per-row running distances: two pending entries hitting the
+            # same full row must see each other's replacements (the batch
+            # cd is pre-replacement state — comparing against it lets a
+            # farther second insert evict a closer first one, diverging
+            # from hnswlib's sequential shrink rule)
+            cur_d = {}
             for row_i, (new_slot, c, dnew) in enumerate(pending):
-                worst = int(np.argmax(cd[row_i]))
-                if dnew < cd[row_i][worst]:
+                row_d = cur_d.setdefault(c, np.array(cd[row_i]))
+                worst = int(np.argmax(row_d))
+                if dnew < row_d[worst]:
                     nbrs[c][worst] = new_slot
+                    row_d[worst] = dnew
         below_slot = this_slot
         changed = True
 

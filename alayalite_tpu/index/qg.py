@@ -25,25 +25,9 @@ import numpy as np
 from ..spaces.rabitq import DEGREE
 from .graph import Graph
 from .nndescent import build_knn_graph
-from .nsg import _attach_unreached, find_medoid
+from .nsg import find_medoid
 
 log = logging.getLogger("alayalite_tpu")
-
-
-def _fill_degree(nbrs: np.ndarray, cand_i: np.ndarray,
-                 cand_d: np.ndarray, r: int) -> np.ndarray:
-    """Pad each row to exactly ``r`` edges with the nearest unused candidates
-    (angle_based_supplement's effect: packed blocks need full degree).
-    Vectorized keep-first dedup of [pruned edges ‖ distance-sorted
-    candidates] (same trick as fusion._union_rows)."""
-    from .fusion import _union_rows
-
-    n = nbrs.shape[0]
-    order = np.argsort(cand_d, axis=1)
-    cand_sorted = np.take_along_axis(cand_i, order, axis=1).astype(np.int32)
-    me = np.arange(n, dtype=np.int32)[:, None]
-    cand_sorted = np.where(cand_sorted == me, -1, cand_sorted)
-    return _union_rows(nbrs, cand_sorted, r)
 
 
 @dataclasses.dataclass
@@ -87,7 +71,10 @@ class QGBuilder:
             # dispatched async; wall-clock otherwise lands on the first
             # blocking download)
             if os.environ.get("ALAYA_BUILD_SYNC") == "1":
-                np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:1]
+                # slice on DEVICE first — np.asarray(full_leaf) would pull
+                # the whole array through the tunnel and time the download
+                leaf = jax.tree_util.tree_leaves(x)[0]
+                np.asarray(jnp.ravel(leaf)[:1])
 
         nnd_iters = self.nnd_iters
         if nnd_iters == 0 and self.pool_scan and n > 100_000:
@@ -157,23 +144,11 @@ class QGBuilder:
         sync(nbrs_dev)
         log.info("qg: prune+reverse+fill %.1fs", time.time() - t0)
 
-        use_dev_repair = os.environ.get(
-            "ALAYA_REPAIR", "device" if n > 200_000 else "host") == "device"
-        if use_dev_repair:
-            # adjacency stays device-resident end to end: repair, block
-            # re-quantization, and Graph construction all consume the
-            # device array — no ~N·R·4-byte download (128 MB at 1M)
-            from .repair_dev import repair_connectivity_dev
+        from .repair_dev import repair_connectivity
 
-            sync(nbrs_dev)
-            log.info("qg: device sync %.1fs", time.time() - t0)
-            nbrs = repair_connectivity_dev(raw_space, nbrs_dev, ep)
-        else:
-            nbrs = np.array(nbrs_dev)  # blocks on queued device phases too
-            log.info("qg: device sync + adjacency download %.1fs",
-                     time.time() - t0)
-            nbrs = _attach_unreached(raw_space, nbrs, ep, ef=self.ef,
-                                     chunk=self.chunk)
+        sync(nbrs_dev)
+        log.info("qg: device sync %.1fs", time.time() - t0)
+        nbrs = repair_connectivity(raw_space, nbrs_dev, ep)
         log.info("qg: connectivity repair %.1fs", time.time() - t0)
 
         rabitq_space = rabitq_space.update_neighbors(nbrs, chunk=self.chunk)

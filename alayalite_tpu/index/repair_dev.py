@@ -191,19 +191,28 @@ def repair_connectivity_dev(space, nbrs: jax.Array, ep: int,
     return nbrs
 
 
-def repair_connectivity(space, nbrs, ep: int, ef: int, chunk: int):
-    """Dispatch: device-resident repair for device adjacency (skips the
-    bulk download entirely), host numpy repair otherwise. ALAYA_REPAIR
-    forces a mode ("device"/"host") for A/Bs."""
+def repair_connectivity(space, nbrs, ep: int, n_small: int = 200_000):
+    """THE repair dispatch for every builder (hnsw/nsg/qg share the
+    policy): device-resident repair when the adjacency is a device array
+    and large enough that the bulk download dominates (> n_small rows —
+    below that the host BFS is faster than the device loop's per-round
+    dispatches and the download is cheap); host numpy repair otherwise.
+    ALAYA_REPAIR forces a mode ("device"/"host") for A/Bs."""
     import os
 
     import numpy as np
 
     mode = os.environ.get("ALAYA_REPAIR")
-    if isinstance(nbrs, jax.Array) and mode != "host":
+    on_dev = isinstance(nbrs, jax.Array)
+    use_dev = on_dev and (mode == "device"
+                          or (mode != "host" and nbrs.shape[0] > n_small))
+    if use_dev:
+        # adjacency stays device-resident end to end: repair, any block
+        # re-quantization, and Graph construction all consume the device
+        # array — no ~N·R·4-byte download (128 MB at 1M)
         return repair_connectivity_dev(space, nbrs, ep)
     from .nsg import _attach_unreached
 
-    if isinstance(nbrs, jax.Array):
-        nbrs = np.array(nbrs)
-    return _attach_unreached(space, nbrs, ep, ef=ef, chunk=chunk)
+    if on_dev:
+        nbrs = np.array(nbrs)  # blocks on queued device phases too
+    return _attach_unreached(space, nbrs, ep)

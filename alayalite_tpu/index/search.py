@@ -253,14 +253,26 @@ def overlay_descend(space, level_ids, level_nbrs, level_down,
 def graph_seeds(space, eps: jax.Array, overlay, queries: jax.Array
                 ) -> jax.Array:
     """Compute seed ids for beam search: overlay greedy descent if the graph
-    has one (graph.hpp initialize_search), else the stored entry points."""
+    has one (graph.hpp initialize_search), else the stored entry points.
+
+    The descent starts at the top level's first LIVE slot — removals +
+    compaction tombstone overlay slots in place (overlay_update.
+    strip_overlay sets ids=-1), so slot 0 may be dead; descending from a
+    dead slot scores a garbage baseline and can seed every query at the
+    removed node. Dead slots are unreachable mid-descent (their in-edges
+    are cleared), so only the entry needs the guard; if the whole top
+    level is dead (or the descent somehow lands invalid) fall back to
+    the stored entry points."""
     B = queries.shape[0]
     if len(overlay) == 0:
         return jnp.broadcast_to(eps[None, :], (B, eps.shape[0]))
-    cur = jnp.zeros((B,), dtype=jnp.int32)  # top level entry: local slot 0
+    top = overlay[0]
+    start = jnp.argmax(top.ids >= 0).astype(jnp.int32)
+    cur = jnp.full((B,), start, dtype=jnp.int32)
     for lvl in overlay:
         cur = overlay_descend(space, lvl.ids, lvl.nbrs, lvl.down, cur, queries)
-    return cur[:, None]
+    ok = jnp.any(top.ids >= 0) & (cur >= 0)
+    return jnp.where(ok, cur, eps[0])[:, None]
 
 
 @functools.partial(jax.jit,

@@ -72,9 +72,12 @@ class ShardedEngine:
         if n > self.ndb * self.per_cap:
             self.per_cap = -(-n // self.ndb)
             self.shards = [self._make_shard() for _ in range(self.ndb)]
-            self._l2g = np.full((self.ndb, self.per_cap), -1, np.int32)
-            self._g2s = np.full(self.ndb * self.per_cap, -1, np.int32)
-            self._g2l = np.full(self.ndb * self.per_cap, -1, np.int32)
+        # refit always resets the id maps: a second fit with smaller n
+        # must not leave stale _g2s/_g2l rows from the first fit, or
+        # remove(old_gid) would tombstone a live row of the new index
+        self._l2g = np.full((self.ndb, self.per_cap), -1, np.int32)
+        self._g2s = np.full(self.ndb * self.per_cap, -1, np.int32)
+        self._g2l = np.full(self.ndb * self.per_cap, -1, np.int32)
         if n < self.ndb:
             raise ValueError(
                 f"fit of {n} vectors cannot fill db_shards={self.ndb} "
@@ -192,7 +195,12 @@ class ShardedEngine:
         self._require_fitted()
         q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         mesh = self._mesh()
-        if mesh is None:
+        if mesh is None or not (
+                self.params.index_type is IndexType.FLAT
+                or self.params.quantization_type.is_block):
+            # the mesh path assembles FLAT slabs or block (nbr_ids/codes)
+            # layouts; plain hnsw/nsg search spaces have neither — serve
+            # them per-shard + host merge (identical results)
             return self._search_fallback(q, topk, ef)
         import jax.numpy as jnp
 

@@ -62,11 +62,17 @@ def replicate(mesh: Mesh, tree):
 
 
 def _local_flat_topk(q, data, x_sq, valid, k: int, metric: str, bf16: bool):
-    """Exact top-k of q against a local database slice (single program)."""
+    """Exact top-k of q against a local database slice (single program).
+    k may exceed the slice (small shards): results pad with inf/-1 so the
+    cross-shard merge shapes stay [Q, k]."""
     d = pairwise(q, data, metric=metric, x_sq=x_sq,
                  compute_dtype=jnp.bfloat16 if bf16 else None)
     d = jnp.where(valid[None, :], d, FINF)
-    nd, ni = jax.lax.top_k(-d, k)
+    kk = min(k, data.shape[0])
+    nd, ni = jax.lax.top_k(-d, kk)
+    if kk < k:
+        nd = jnp.pad(nd, ((0, 0), (0, k - kk)), constant_values=-FINF)
+        ni = jnp.pad(ni, ((0, 0), (0, k - kk)), constant_values=-1)
     return -nd, ni
 
 
@@ -95,7 +101,10 @@ def db_sharded_flat_search(mesh: Mesh, space, queries: jax.Array, k: int,
         dd = dd.reshape(q.shape[0], -1)
         ii = ii.reshape(q.shape[0], -1)
         nd, sel = jax.lax.top_k(-dd, k)
-        return -nd, jnp.take_along_axis(ii, sel, axis=1)
+        out_i = jnp.take_along_axis(ii, sel, axis=1)
+        # mask padding-slot hits (inf distance) to -1 like the graph and
+        # block variants — capacity padding otherwise leaks phantom ids
+        return -nd, jnp.where(jnp.isfinite(-nd), out_i, -1)
 
     return _search(queries, space.data, space.sq_norms, space.valid)
 
@@ -197,11 +206,17 @@ class ShardedGraphIndex:
         v = np.asarray(vectors, dtype=np.float32)
         n, dim = v.shape
         ndb = self.mesh.shape["db"]
+        if n < ndb:
+            raise ValueError(f"fit of {n} vectors cannot fill {ndb} shards")
         per = -(-n // ndb)
+        # array_split (not fixed stride): n=9 over 8 shards must give every
+        # shard >= 1 row — a fixed per=2 stride left trailing shards EMPTY
+        # and fed 0 rows into the graph builder
+        chunks = np.array_split(v, ndb)
         datas, sqs, valids, nbrs_l, eps_l = [], [], [], [], []
         n_eps = 8
         for s in range(ndb):
-            rows = v[s * per: (s + 1) * per]
+            rows = chunks[s]
             space = RawSpace.create(per, dim, metric=self.metric).fit(rows)
             if self.builder == "hnsw":
                 b = HNSWBuilder(r=self.max_nbrs, l=self.ef_construction,
@@ -380,12 +395,16 @@ class ShardedBlockIndex:
         v = np.asarray(vectors, dtype=np.float32)
         n, dim = v.shape
         ndb = self.mesh.shape["db"]
+        if n < ndb:
+            raise ValueError(f"fit of {n} vectors cannot fill {ndb} shards")
         per = -(-n // ndb)
+        # array_split: every shard gets >= 1 row (see ShardedGraphIndex.fit)
+        chunks = np.array_split(v, ndb)
         cols = {name: [] for name in ("data", "sq", "dmin", "scale", "nids",
                                       "ncodes", "nxsq", "valid", "eps")}
         n_eps = 8
         for s in range(ndb):
-            rows = v[s * per: (s + 1) * per]
+            rows = chunks[s]
             raw = RawSpace.create(per, dim, metric=self.metric).fit(rows)
             bqg = BQGSpace.create(per, dim, metric=self.metric,
                                   degree=self.max_nbrs).fit(rows)

@@ -113,11 +113,23 @@ class ServiceApp:
     def list_collections(self, body: dict) -> Tuple[int, Any]:
         return 200, list(self.client.list_collections())
 
+    def _drop_servers(self, name: str = None) -> None:
+        """Close + evict cached SearchServers (all of them when name is
+        None) — a deleted collection's server holds a dispatcher thread
+        and the old index alive."""
+        with self._servers_lock:
+            names = [name] if name is not None else list(self._servers)
+            dropped = [self._servers.pop(n, None) for n in names]
+        for srv in dropped:
+            if srv is not None:
+                srv.close()
+
     def delete_collection(self, body: dict) -> Tuple[int, Any]:
         req = m.DeleteCollectionRequest(**body)
         try:
             self.client.delete_collection(req.collection_name,
                                           req.delete_on_disk)
+            self._drop_servers(req.collection_name)
             return 200, f"Collection {req.collection_name} deleted successfully"
         except Exception as e:
             msg = str(e)
@@ -126,6 +138,7 @@ class ServiceApp:
     def reset(self, body: dict) -> Tuple[int, Any]:
         req = m.ResetCollectionRequest(**body)
         self.client.reset(req.delete_on_disk)
+        self._drop_servers()
         return 200, "Collection reset successfully"
 
     def insert(self, body: dict) -> Tuple[int, Any]:
@@ -174,9 +187,12 @@ class ServiceApp:
         want_ef = max(req.ef_search, req.limit)
         with self._servers_lock:
             srv = self._servers.get(name)
-            # rebuild when either topk or ef outgrows the cached server —
-            # requests in a batch share the server's (topk, ef)
-            if srv is None or srv.topk < req.limit or srv.ef < want_ef:
+            # rebuild when topk/ef outgrows the cached server (requests in
+            # a batch share the server's (topk, ef)), or when the cached
+            # server was built for a DIFFERENT index object — a deleted +
+            # recreated collection must not serve from the old index
+            if (srv is None or srv.topk < req.limit or srv.ef < want_ef
+                    or srv._index is not col._index):
                 old = self._servers.pop(name, None)
                 if old is not None:
                     old.close()
@@ -192,7 +208,12 @@ class ServiceApp:
             futs = [srv.submit(q) for q in qs]
         ids = np.stack([f.result()[0][: req.limit] for f in futs])
         dists = np.stack([f.result()[1][: req.limit] for f in futs])
-        return col._join_results(ids, dists)
+        # the id->document join reads collection state that concurrent
+        # insert/upsert (which hold self._lock) mutate non-atomically
+        # (_inner_outer is updated before _df) — take the lock for the
+        # join so a valid inner id can't miss its document row
+        with self._lock:
+            return col._join_results(ids, dists)
 
     def upsert(self, body: dict) -> Tuple[int, Any]:
         req = m.UpsertCollectionRequest(**body)

@@ -51,10 +51,17 @@ class SearchServer:
                ef: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
         """Blocking single-query search; safe from any thread.
         (Per-request topk/ef fall back to server defaults — requests in one
-        batch share the server's topk/ef, like one Scheduler run.)"""
+        batch share the server's topk/ef, like one Scheduler run. Asking
+        for MORE than the server's width is an error, not a silent
+        truncation to self.topk rows.)"""
+        k = topk or self.topk
+        if k > self.topk:
+            raise ValueError(
+                f"topk={k} exceeds this server's batch width "
+                f"(topk={self.topk}); create the SearchServer with a "
+                f"larger topk")
         fut = self.submit(query)
         ids, dists = fut.result()
-        k = topk or self.topk
         return ids[:k], dists[:k]
 
     def submit(self, query: np.ndarray) -> Future:
@@ -91,17 +98,27 @@ class SearchServer:
             for row, fut in enumerate(futs):
                 if fut is None:
                     continue
-                if err is not None:
-                    fut.set_exception(err)
-                else:
-                    fut.set_result((ids[row], dists[row]))
+                # a caller may have cancel()ed its future (it never enters
+                # RUNNING, so cancel succeeds); set_* would then raise
+                # InvalidStateError and kill this dispatcher thread,
+                # hanging every later search
+                try:
+                    if err is not None:
+                        fut.set_exception(err)
+                    else:
+                        fut.set_result((ids[row], dists[row]))
+                except Exception:
+                    pass
         # queue closed: fail every future still waiting so no client hangs
         with self._futures_lock:
             leftovers = list(self._futures.values())
             self._futures.clear()
         for fut in leftovers:
-            if not fut.done():
-                fut.set_exception(RuntimeError("server closed"))
+            try:
+                if not fut.done():
+                    fut.set_exception(RuntimeError("server closed"))
+            except Exception:  # cancelled between done() and set_exception
+                pass
 
     def close(self) -> None:
         self._closed = True

@@ -143,6 +143,73 @@ def _search_pool_scan(space, nbrs_dev, eps_dev, starts_dev, key, pool_d,
     return pool_d, pool_i
 
 
+def block_pool_dev(bspace, eps: np.ndarray, ef: int, n: int,
+                   chunk: int = 4096, n_rand_seeds: int = 16, seed: int = 0,
+                   max_iters: int = 0, seed_sample=None, n_expand: int = 8,
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """Beam-search pools over a *block* space whose neighbor blocks were
+    packed from the kNN graph (one fat gather per pop instead of M·R thin
+    ones — the pools phase at 1M is gather-bound: ~3G thin rows over 12
+    hops). The final in-search exact rerank re-scores the whole pool from
+    raw vectors, so the returned pool_d is exact f32 — the occlusion prune
+    consumes it bias-free. Same group-scan dispatch structure as
+    search_pool_dev."""
+    import os
+
+    eps_dev = jnp.asarray(np.asarray(eps, dtype=np.int32))
+    starts, chunk = _chunks(n, chunk)
+    group = max(1, int(os.environ.get("ALAYA_POOL_GROUP", "32")))
+    starts = np.asarray(starts, dtype=np.int32)
+    if starts.size % group:
+        starts = np.concatenate(
+            [starts, np.full(-starts.size % group, starts[-1], np.int32)])
+    pool_d = jnp.zeros((n, ef), dtype=jnp.float32)
+    pool_i = jnp.zeros((n, ef), dtype=jnp.int32)
+    key = jax.random.PRNGKey(seed ^ 0xB10C)
+    sample = (None, None, None) if seed_sample is None else seed_sample
+    for g in range(0, starts.size, group):
+        pool_d, pool_i = _block_pool_scan(
+            bspace, eps_dev, jnp.asarray(starts[g:g + group]), key,
+            pool_d, pool_i, *sample, chunk=chunk, ef=ef, n=n,
+            n_rand_seeds=n_rand_seeds, max_iters=max_iters,
+            n_expand=n_expand, with_sample=seed_sample is not None)
+    return pool_d, pool_i
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(4, 5),
+    static_argnames=("chunk", "ef", "n", "n_rand_seeds", "max_iters",
+                     "n_expand", "with_sample"))
+def _block_pool_scan(bspace, eps_dev, starts_dev, key, pool_d, pool_i,
+                     sample_ids, sample_vecs, sample_sq, chunk: int, ef: int,
+                     n: int, n_rand_seeds: int, max_iters: int,
+                     n_expand: int, with_sample: bool):
+    from .search import block_beam_search, scan_seeds
+
+    def step(carry, lo):
+        pd, pi = carry
+        qj = jax.lax.dynamic_slice_in_dim(bspace.data, lo, chunk
+                                          ).astype(jnp.float32)
+        sub = jax.random.fold_in(key, lo)
+        rand = jax.random.randint(sub, (chunk, n_rand_seeds), 0, n,
+                                  dtype=jnp.int32)
+        seeds = jnp.concatenate(
+            [jnp.broadcast_to(eps_dev[None, :], (chunk, eps_dev.shape[0])),
+             rand], axis=1)
+        if with_sample:
+            seeds = jnp.concatenate(
+                [scan_seeds(qj, sample_ids, sample_vecs, sample_sq), seeds],
+                axis=1)
+        d, i = block_beam_search(bspace, seeds, qj, k=ef, ef=ef,
+                                 n_expand=n_expand, max_iters=max_iters)
+        pd = jax.lax.dynamic_update_slice_in_dim(pd, d, lo, 0)
+        pi = jax.lax.dynamic_update_slice_in_dim(pi, i, lo, 0)
+        return (pd, pi), None
+
+    (pool_d, pool_i), _ = jax.lax.scan(step, (pool_d, pool_i), starts_dev)
+    return pool_d, pool_i
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1),
                    static_argnames=("chunk", "ef"))
 def _twohop_chunk_into(pool_d, pool_i, space, knn_i_all, lo, chunk: int,

@@ -43,10 +43,15 @@ class QGBuilder:
     pool_iters: int = 0  # build-pool beam hop cap (0 = beam auto)
     pool_scan: int = 4096  # seed-scan sample for build pools (0 = off)
     # "beam" = scan-seeded beam-search pools (search_pool_dev);
+    # "block" = the same beams over an *interim block space* packed from
+    # the kNN rows (build_phases.block_pool_dev) — one fat gather per pop
+    # instead of M·R thin ones; SQ8-grade traversal estimates, exact
+    # reranked pool distances. Default for bsq8 (see build_graph);
     # "twohop" = CAGRA-style kNN ∪ kNN² exact-scored pools
     # (build_phases.twohop_pool_dev) — one fat gather instead of ~12
-    # sequential hops per chunk. ALAYA_POOL_MODE overrides for A/Bs.
-    pool_mode: str = "beam"
+    # sequential hops per chunk (measured recall-negative, kept for A/Bs).
+    # ALAYA_POOL_MODE overrides for A/Bs.
+    pool_mode: str = ""
     seed: int = 0
 
     def build_graph(self, raw_space, rabitq_space, n: Optional[int] = None):
@@ -88,8 +93,53 @@ class QGBuilder:
         sync(knn_i)
         log.info("qg: knn graph %.1fs", time.time() - t0)
         ep = find_medoid(raw_space, n)
-        pool_mode = os.environ.get("ALAYA_POOL_MODE", self.pool_mode)
-        if pool_mode == "twohop":
+        pool_mode = self.pool_mode
+        if not pool_mode:
+            # bsq8's SQ8-grade block estimates match raw-traversal pool
+            # quality; 1-/2-bit rabitq estimates are too noisy to steer
+            # the build beams (same reason serving reranks through them).
+            # Gated by scale: thin-row beam pools are gather-bound only at
+            # large n (the win is ~32x fewer gathered rows per hop); small
+            # builds would pay the interim pack + extra program compiles
+            # for nothing (and the CI suite builds many small indexes).
+            pool_mode = ("block" if n >= 50_000
+                         and type(rabitq_space).__name__ == "BQGSpace"
+                         else "beam")
+        pool_mode = os.environ.get("ALAYA_POOL_MODE", pool_mode)
+        if pool_mode == "block":
+            from .build_phases import block_pool_dev
+
+            sample = None
+            pool_iters = self.pool_iters
+            if self.pool_scan and n >= 4 * 128:
+                if pool_iters == 0:
+                    pool_iters = 12  # scan-seeded beams: see beam mode below
+                s = min(self.pool_scan, (n // 128) * 128)
+                rng = np.random.default_rng(self.seed + 5)
+                sids = jnp.asarray(np.sort(rng.choice(n, size=s,
+                                                      replace=False))
+                                   .astype(np.int32))
+                from .search import seed_sample_arrays
+
+                sample = seed_sample_arrays(raw_space.data, sids,
+                                            raw_space.user_metric)
+            pool_iters = int(os.environ.get("ALAYA_POOL_ITERS", pool_iters))
+            pool_ef = min(self.ef, 128)
+            pool_chunk = int(os.environ.get("ALAYA_POOL_CHUNK", self.chunk))
+            # pack interim neighbor blocks from the kNN rows; the final
+            # update_neighbors below re-encodes from the real adjacency.
+            # Rebinding rabitq_space recycles the 4 GB code buffer through
+            # donation (update_neighbors donates nbr_codes) instead of
+            # allocating a second copy.
+            rabitq_space = rabitq_space.update_neighbors(knn_i,
+                                                         chunk=self.chunk)
+            sync(rabitq_space.nbr_codes)
+            log.info("qg: interim block pack %.1fs", time.time() - t0)
+            pool_d, pool_i = block_pool_dev(
+                rabitq_space, np.array([ep]), ef=pool_ef, n=n,
+                chunk=pool_chunk, seed=self.seed, max_iters=pool_iters,
+                seed_sample=sample)
+        elif pool_mode == "twohop":
             from .build_phases import twohop_pool_dev
 
             pool_d, pool_i = twohop_pool_dev(raw_space, knn_i, ef=self.ef,

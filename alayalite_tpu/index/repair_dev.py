@@ -148,6 +148,48 @@ def _attach_dev(nbrs: jax.Array, reps: jax.Array, srcs: jax.Array,
     return nbrs, protected
 
 
+@partial(jax.jit, static_argnames=("tile", "metric"))
+def _nearest_valid_dev(qs: jax.Array, data: jax.Array, sq: jax.Array,
+                       valid: jax.Array, tile: int, metric: str) -> jax.Array:
+    """Nearest valid node id for each query row — a tiled in-jit min-scan.
+
+    Replaces the repair's exact_topk call: eager exact_topk at 1M x 960
+    materialized a full-array copy (pad to the tile multiple), an unfused
+    |x|² transient, and the [Q, tile] distance tile all at once — HBM
+    exhaustion next to the resident f32 data (measured, GIST-1M build).
+    Here the base is sliced in-jit (overlapping tail tiles are harmless
+    under min) and |x|² comes from the space's stored sq_norms. bf16
+    scoring: repair only needs a *near* reached node."""
+    n = data.shape[0]
+    nt = -(-n // tile)
+    starts = jnp.minimum(jnp.arange(nt, dtype=jnp.int32) * tile,
+                         jnp.int32(n - tile))
+    qb = qs.astype(jnp.bfloat16)
+
+    def body(i, carry):
+        best_d, best_i = carry
+        lo = starts[i]
+        xt = lax.dynamic_slice_in_dim(data, lo, tile).astype(jnp.bfloat16)
+        vt = lax.dynamic_slice_in_dim(valid, lo, tile)
+        dot = jnp.dot(qb, xt.T, preferred_element_type=jnp.float32)
+        if metric == "ip":
+            d = -dot
+        else:  # |q|² constant per row: drop it
+            sqt = lax.dynamic_slice_in_dim(sq, lo, tile)
+            d = sqt[None, :] - 2.0 * dot
+        d = jnp.where(vt[None, :], d, jnp.inf)
+        j = jnp.argmin(d, axis=1)
+        dm = jnp.take_along_axis(d, j[:, None], 1)[:, 0]
+        ni = (lo + j).astype(jnp.int32)
+        upd = dm < best_d
+        return jnp.where(upd, dm, best_d), jnp.where(upd, ni, best_i)
+
+    init = (jnp.full((qs.shape[0],), jnp.inf, jnp.float32),
+            jnp.zeros((qs.shape[0],), jnp.int32))
+    _, best_i = lax.fori_loop(0, nt, body, init)
+    return best_i
+
+
 def repair_connectivity_dev(space, nbrs: jax.Array, ep: int,
                             max_rounds: int = 24,
                             tol: float = 2e-4) -> jax.Array:
@@ -157,8 +199,6 @@ def repair_connectivity_dev(space, nbrs: jax.Array, ep: int,
     fully-bridged row wraps and may clobber). Only scalars and ≤REP_CAP-id
     vectors cross the host boundary."""
     n = nbrs.shape[0]
-    from ..ops.distance import exact_topk
-
     seed = jnp.zeros(n, jnp.bool_).at[ep].set(True)
     reached = _expand_reached_dev(nbrs, seed)
     protected = jnp.zeros(nbrs.shape, jnp.bool_)
@@ -182,10 +222,11 @@ def repair_connectivity_dev(space, nbrs: jax.Array, ep: int,
                  _round, missing, n_comp)
         if n_comp == 0:  # isolated only via dropped edges; nothing to hook
             break
-        data = space.data[:n].astype(jnp.float32)
-        qs = data[jnp.minimum(reps, n - 1)]
-        _, near = exact_topk(qs, data, 1, metric=space.metric, valid=reached)
-        srcs = jnp.asarray(near[:, 0])
+        qs = space.data[jnp.minimum(reps, n - 1)].astype(jnp.float32)
+        tile = min(16384, n)
+        srcs = _nearest_valid_dev(qs, space.data[:n] if n != space.capacity
+                                  else space.data, space.sq_norms[:n],
+                                  reached, tile=tile, metric=space.metric)
         nbrs, protected = _attach_dev(nbrs, reps, srcs, protected)
         reached = _expand_reached_dev(nbrs, reached)
     return nbrs

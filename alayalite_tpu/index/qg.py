@@ -98,11 +98,13 @@ class QGBuilder:
             # bsq8's SQ8-grade block estimates match raw-traversal pool
             # quality; 1-/2-bit rabitq estimates are too noisy to steer
             # the build beams (same reason serving reranks through them).
-            # Gated by scale: thin-row beam pools are gather-bound only at
-            # large n (the win is ~32x fewer gathered rows per hop); small
-            # builds would pay the interim pack + extra program compiles
-            # for nothing (and the CI suite builds many small indexes).
-            pool_mode = ("block" if n >= 50_000
+            # Gated by scale: measured warm A/Bs (scripts/ab_block_pools.py,
+            # v5e) put block pools ~16 s SLOWER at 100k (fixed per-hop cost
+            # of the fat-gather kernel + interim pack) and ~128 s FASTER at
+            # 1M (beam pools scale ~linearly with n, block pools barely
+            # grow: 100k->1M is 44->437 s beam vs 61->309 s block total).
+            # Linear crossover estimate ~240k; gate at 250k.
+            pool_mode = ("block" if n >= 250_000
                          and type(rabitq_space).__name__ == "BQGSpace"
                          else "beam")
         pool_mode = os.environ.get("ALAYA_POOL_MODE", pool_mode)

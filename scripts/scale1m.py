@@ -52,6 +52,6 @@ if "bsq8" in only:
 if "sq8" in only:
     # high-dim config: thin-row SQ8 graph (block layouts duplicate each
     # 960-B code R times and blow HBM at D=960)
-    bench("hnsw_sq8", dict(index_type="hnsw", quantization_type="sq8"), [32, 64, 128])
+    bench("hnsw_sq8", dict(index_type="hnsw", quantization_type="sq8"), [32, 64, 128, 192])
 if "hnsw" in only:
     bench("hnsw_f32", dict(index_type="hnsw"), [32, 64])

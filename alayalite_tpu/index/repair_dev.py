@@ -202,6 +202,11 @@ def repair_connectivity_dev(space, nbrs: jax.Array, ep: int,
     seed = jnp.zeros(n, jnp.bool_).at[ep].set(True)
     reached = _expand_reached_dev(nbrs, seed)
     protected = jnp.zeros(nbrs.shape, jnp.bool_)
+    # hoisted out of the round loop: at near-capacity high-dim shapes the
+    # [:n] slice materializes a multi-GB fresh device array per round
+    data_n = space.data[:n] if n != space.capacity else space.data
+    norms_n = (space.sq_norms[:n] if n != space.capacity
+               else space.sq_norms)
     verified = True
     for _round in range(max_rounds):
         missing = int(jnp.sum(~reached))
@@ -224,8 +229,7 @@ def repair_connectivity_dev(space, nbrs: jax.Array, ep: int,
             break
         qs = space.data[jnp.minimum(reps, n - 1)].astype(jnp.float32)
         tile = min(16384, n)
-        srcs = _nearest_valid_dev(qs, space.data[:n] if n != space.capacity
-                                  else space.data, space.sq_norms[:n],
+        srcs = _nearest_valid_dev(qs, data_n, norms_n,
                                   reached, tile=tile, metric=space.metric)
         nbrs, protected = _attach_dev(nbrs, reps, srcs, protected)
         reached = _expand_reached_dev(nbrs, reached)

@@ -16,6 +16,14 @@ does NOT fuse tightly:
 
 Both kernels run the same code in interpret mode on CPU for tests; compiled
 on TPU they obey Mosaic tiling (tq, tn multiples of 128).
+
+BENCH-ONLY: the serving/build paths do NOT call these kernels. Measured on
+v5e (scripts/pallas_bench.py, DESIGN.md "Environment note"), XLA's own
+matmul+approx_max_k fusion never materializes the [Q, N] distance matrix and
+beats these tiles, which must write their output; the fused u8 kernel that
+DID win in-loop lives in ``ops/pallas_block.py``. These are kept as the
+apples-to-apples Pallas baselines for scripts/pallas_bench.py and
+tests/test_pallas.py; do not wire them into the engine without re-measuring.
 """
 
 from __future__ import annotations

@@ -152,16 +152,17 @@ def fit_shards_from_file(engine, path: str,
     if n > ndb * engine.per_cap:
         raise RuntimeError(
             f"file has {n} rows > capacity {ndb * engine.per_cap}")
+    from .engine_sharded import _GidMap
+
+    engine._gid_map = _GidMap(n)
+    engine._l2g = [np.full(0, -1, np.int64) for _ in range(ndb)]
     off = 0
     for s in range(ndb):
         lo, hi = process_row_range(n, ndb, s)
         rows = load_vecs_rows(path, lo, hi, dtype=dt).astype(
             np.float32, copy=False)
         engine.shards[s].fit(rows, ef_construction=ef_construction)
-        gids = off + np.arange(rows.shape[0])
-        engine._l2g[s, : rows.shape[0]] = gids
-        engine._g2s[gids] = s
-        engine._g2l[gids] = np.arange(rows.shape[0])
+        engine._register_fit_chunk(s, rows.shape[0], off)
         off += rows.shape[0]
     engine._next_gid = n
     engine._fitted = True

@@ -66,20 +66,13 @@ def make_fht_kac_rotation(dim: int, seed: int = 0, rounds: int = 4) -> np.ndarra
     if dim & (dim - 1):
         raise ValueError("fht_kac rotator requires power-of-two dim "
                          "(use rotator='matrix' otherwise)")
+    from ..ops.hadamard import fwht_np
+
     rng = np.random.default_rng(seed)
     m = np.eye(dim, dtype=np.float64)
     for _ in range(rounds):
         signs = rng.choice([-1.0, 1.0], size=dim)
-        m = m * signs[None, :]          # flip input coords
-        # one FWHT butterfly pass over columns (rows of m.T): iterative
-        h = 1
-        while h < dim:
-            m = m.reshape(dim, dim // (2 * h), 2, h)
-            a = m[:, :, 0, :] + m[:, :, 1, :]
-            b = m[:, :, 0, :] - m[:, :, 1, :]
-            m = np.stack([a, b], axis=2).reshape(dim, dim)
-            h *= 2
-        m = m / np.sqrt(dim)
+        m = fwht_np(m * signs[None, :])   # flip input coords, then FWHT rows
     # m maps row-vector x via x @ m.T? We built column-transform: m[i, j] =
     # (FhtKac e_j)[i]; x @ m.T rotates like fht_kac_rotate(x).
     return m.T.astype(np.float32)

@@ -26,14 +26,20 @@ ds = random_dataset(n=n, dim=dim, n_queries=nq, seed=42, clusters=500)
 gt = calc_gt(ds.data, ds.queries, 10, fast=True)
 print("# data + gt ready", flush=True)
 
-for mode in os.environ.get("AB_MODES", "block,beam").split(","):
-    os.environ["ALAYA_POOL_MODE"] = mode
-    idx = Index("ab_" + mode, IndexParams(
-        capacity=n, max_nbrs=32, ef_construction=200,
-        index_type="hnsw", quantization_type="bsq8"))
-    t0 = time.time(); idx.fit(ds.data); b = time.time() - t0
-    for ef in (24, 32):
-        ids = idx.batch_search(ds.queries, 10, ef_search=ef)
-        rec = calc_recall(ids, gt)
-        print(f"{mode:6} ef={ef:3} recall={rec:.4f} build={b:.1f}s",
-              flush=True)
+try:
+    for mode in os.environ.get("AB_MODES", "block,beam").split(","):
+        os.environ["ALAYA_POOL_MODE"] = mode
+        try:
+            idx = Index("ab_" + mode, IndexParams(
+                capacity=n, max_nbrs=32, ef_construction=200,
+                index_type="hnsw", quantization_type="bsq8"))
+            t0 = time.time(); idx.fit(ds.data); b = time.time() - t0
+        finally:
+            del os.environ["ALAYA_POOL_MODE"]
+        for ef in (24, 32):
+            ids = idx.batch_search(ds.queries, 10, ef_search=ef)
+            rec = calc_recall(ids, gt)
+            print(f"{mode:6} ef={ef:3} recall={rec:.4f} build={b:.1f}s",
+                  flush=True)
+finally:
+    del os.environ["ALAYA_BUILD_SYNC"]

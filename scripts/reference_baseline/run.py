@@ -109,7 +109,9 @@ def main():
                     round(time.time() - t0, 1)),
     }
     os.makedirs(os.path.join(REPO, "results"), exist_ok=True)
-    with open(os.path.join(REPO, "results", "reference_baseline.json"), "w") as f:
+    suffix = "" if n == 100_000 else ("_1m" if n == 1_000_000 else f"_{n}")
+    out_path = os.path.join(REPO, "results", f"reference_baseline{suffix}.json")
+    with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2))
 

@@ -59,9 +59,9 @@ def fused_block_insert(
         seeds = scan_seeds(v, *seed_sample)
     else:
         seeds = jnp.broadcast_to(eps[None, :], (B, eps.shape[0]))
-    _, ids_nb = block_beam_search(space, seeds, v, k=r, ef=max(ef, r),
-                                  max_iters=iters, valid=space.valid,
-                                  n_expand=m)
+    d_nb, ids_nb = block_beam_search(space, seeds, v, k=r, ef=max(ef, r),
+                                     max_iters=iters, valid=space.valid,
+                                     n_expand=m)
 
     # 2. append raw vectors at the bump pointer
     start = space.num
@@ -76,7 +76,31 @@ def fused_block_insert(
         jnp.where(ok, True, space.valid[slot_safe]))
     new_num = jnp.minimum(start + count, C).astype(jnp.int32)
 
-    rows_new = jnp.where(ok[:, None], ids_nb, -1)
+    # new rows = exact top-r of [searched existing ∪ the batch's own
+    # nearest]. The search preceded the append, so its results cannot
+    # reference same-batch nodes — but the reference inserts sequentially,
+    # where point t DOES link to points < t (graph_update_job.hpp:66-89);
+    # without within-batch edges a batch of outliers forms an unreachable
+    # island (measured on the raw path: 0.15 self-recall). One [B, B] MXU
+    # pairwise restores the sequential semantics, both directions at once.
+    dot_b = jnp.einsum("bd,cd->bc", v, v,
+                       preferred_element_type=jnp.float32)
+    vsq = jnp.sum(v * v, axis=-1)
+    if space.metric == "ip":
+        pin = -dot_b
+    else:
+        pin = jnp.maximum(vsq[:, None] + vsq[None, :] - 2.0 * dot_b, 0.0)
+    bad = ((~ok)[None, :] | (~ok)[:, None]
+           | (jnp.arange(B)[:, None] == jnp.arange(B)[None, :]))
+    pin = jnp.where(bad, FINF, pin)
+    kb = min(r, B)
+    nd_in, sel_in = jax.lax.top_k(-pin, kb)
+    batch_ids = jnp.where(jnp.isfinite(nd_in), slots[sel_in], -1)
+    cand_n = jnp.concatenate([ids_nb, batch_ids], axis=1)
+    cd_n = jnp.concatenate([jnp.where(ids_nb >= 0, d_nb, FINF), -nd_in],
+                           axis=1)
+    _, si_n = _sort_dedup(cd_n, cand_n)
+    rows_new = jnp.where(ok[:, None], si_n[:, :r], -1)
     codes_new, xsq_new = _encode_block(data, space.dmin, space.scale,
                                        rows_new,
                                        store_sq=space.metric == "l2")
@@ -92,7 +116,7 @@ def fused_block_insert(
 
     # 3. bounded reverse table: which new nodes point at each touched dst
     #    (random-slot reservoir — collisions drop, like reverse_edges_dev)
-    dst = jnp.where(ok[:, None] & (ids_nb >= 0), ids_nb, C)  # C = dropped
+    dst = jnp.where(ok[:, None] & (rows_new >= 0), rows_new, C)  # C = drop
     src = jnp.broadcast_to(slots[:, None], (B, r))
     slot_rand = jax.random.randint(key, (B, r), 0, w)
     rev = jnp.full((C, w), -1, dtype=jnp.int32)
@@ -123,6 +147,94 @@ def fused_block_insert(
                           nbr_ids=nbr_ids, nbr_codes=nbr_codes,
                           nbr_xsq=nbr_xsq)
     return space, graph_nbrs, jnp.where(ok, slots, -1)
+
+
+@functools.partial(jax.jit, donate_argnums=(1,),
+                   static_argnames=("row_w", "alpha", "chunk"))
+def fused_raw_connect(
+    space,                  # RawSpace AFTER the batch's rows were appended
+    graph_nbrs: jax.Array,  # [C, W] i32 adjacency (donated)
+    new_ids: jax.Array,     # [B] i32 slots of the inserted rows (-1 pad)
+    new_rows: jax.Array,    # [B, r] i32 edges found for the new rows
+    touched: jax.Array,     # [T] i32 reverse-edge destinations (-1 pad)
+    rev: jax.Array,         # [T, K] i32 new sources pointing at each dst
+    row_w: int,
+    alpha: float = 1.0,
+    chunk: int = 2048,
+) -> jax.Array:
+    """Raw-graph edition of the fused connect: new-row scatter + bounded
+    reverse re-prune in ONE program, so the adjacency never leaves the
+    device (the round-3 host path downloaded + re-uploaded the full [C, W]
+    table per insert batch — ~256 MB of tunnel traffic at 1M x 32).
+
+    Covers hnsw/nsg/fusion raw and sq-quantized indices (the reference's
+    GraphUpdateJob::insert_and_update, graph_update_job.hpp:66-89, with the
+    heuristic re-prune of hnswlib.hpp:291-350 on every touched node).
+    ``touched`` pads are -1 (their scatter drops); duplicate touched ids
+    would read identical pre-update state and write identical rows, but the
+    host-side group-by already uniques them."""
+    from .prune import occlusion_prune_chunk
+
+    B = new_ids.shape[0]
+    C = graph_nbrs.shape[0]
+    T, K = touched.shape[0], rev.shape[1]
+
+    # 1. new rows = occlusion prune of [searched existing edges ∪ the
+    #    batch's own nearest]. The search ran BEFORE the append, so its
+    #    results cannot reference same-batch nodes — but the reference
+    #    inserts sequentially, where point t DOES link to points < t
+    #    (graph_update_job.hpp:66-89); without the within-batch edges a
+    #    batch of outliers forms an unreachable island (measured: 0.15
+    #    self-recall on a 40-outlier batch). One [B, B] MXU pairwise
+    #    restores the sequential semantics, both directions at once.
+    ok_n = new_ids >= 0
+    nb_safe = jnp.where(ok_n, new_ids, 0)
+    vnew = space.data[nb_safe].astype(jnp.float32)              # [B, D]
+    dot = jnp.einsum("bd,cd->bc", vnew, vnew,
+                     preferred_element_type=jnp.float32)
+    if space.metric == "ip":
+        pin = -dot
+    else:
+        sqn = space.sq_norms[nb_safe]
+        pin = jnp.maximum(sqn[:, None] + sqn[None, :] - 2.0 * dot, 0.0)
+    self_or_pad = (~ok_n[None, :]) | (jnp.arange(B)[:, None]
+                                      == jnp.arange(B)[None, :])
+    pin = jnp.where(self_or_pad | (~ok_n[:, None]), FINF, pin)
+    kb = min(new_rows.shape[1], B)
+    nd_in, sel_in = jax.lax.top_k(-pin, kb)
+    batch_ids = jnp.where(jnp.isfinite(nd_in), new_ids[sel_in], -1)
+
+    r_s = new_rows.shape[1]
+    ex_safe = jnp.where(new_rows >= 0, new_rows, 0)
+    d_ex = space.gather_dists(vnew, ex_safe)
+    d_ex = jnp.where(new_rows >= 0, d_ex, FINF)
+    cand_n = jnp.concatenate([new_rows, batch_ids], axis=1)     # [B, r+kb]
+    cd_n = jnp.concatenate([d_ex, -nd_in], axis=1)
+    pruned_new = occlusion_prune_chunk(space, vnew, cd_n, cand_n,
+                                       r=row_w, alpha=alpha)
+    full_rows = jnp.where(ok_n[:, None], pruned_new, -1)
+    w_idx = jnp.where(ok_n, new_ids, C)
+    graph_nbrs = graph_nbrs.at[w_idx].set(full_rows, mode="drop")
+
+    # 2. re-prune every touched dst: candidates = current edges ∪ the new
+    #    sources; exact distances; occlusion rule at full row width —
+    #    chunked in-jit to bound the [chunk, M, M] pair tensor
+    nck = T // chunk
+
+    def body(args):
+        t_c, rev_c = args
+        t_safe = jnp.where(t_c >= 0, t_c, 0)
+        cand = jnp.concatenate([graph_nbrs[t_safe], rev_c], axis=1)
+        q = space.data[t_safe].astype(jnp.float32)
+        d = space.gather_dists(q, jnp.where(cand >= 0, cand, 0))
+        d = jnp.where(cand >= 0, d, FINF)
+        return occlusion_prune_chunk(space, q, d, cand, r=row_w,
+                                     alpha=alpha)
+
+    pruned = jax.lax.map(body, (touched.reshape(nck, chunk),
+                                rev.reshape(nck, chunk, K)))
+    t_write = jnp.where(touched >= 0, touched, C)
+    return graph_nbrs.at[t_write].set(pruned.reshape(T, row_w), mode="drop")
 
 
 def _bqg_exact_dists(space, data, sq, q, ids):

@@ -98,11 +98,16 @@ def _expand(space, q, visited, pool_d, pool_i, pool_c, cand_ids, ef: int):
 def _expand_popring(space, q, popring, pool_d, pool_i, pool_c, cand_ids,
                     ef: int):
     """Popring-based expand (the r2 visited design, see block_beam_search):
-    stale = in-pool or already-expanded; within-batch duplicates collapse in
-    the merge sort (exact distances of equal ids are equal, so copies are
-    sort-adjacent). K x (P+L) compares instead of K x (ring+L+K)."""
-    seen = jnp.concatenate([popring, pool_i], axis=1)
-    stale = jnp.any(cand_ids[:, :, None] == seen[:, None, :], axis=2)
+    stale = already-expanded. The in-pool compare the block path needs is
+    REDUNDANT here: raw-space distances of equal ids are identical every
+    hop (same exact formula), so any candidate duplicating an unchecked
+    pool entry carries an identical (d, id, flag) triple and collapses
+    inside merge_topk_dedup — and checked pool entries were popped, so
+    they are already in the ring. K x P compares instead of K x (P+L)
+    (the hop's stale check is its worst-lowering XLA op — DESIGN.md
+    "fused-hop kernel" entry; halving its width is the measured win the
+    Pallas rewrite was chasing)."""
+    stale = jnp.any(cand_ids[:, :, None] == popring[:, None, :], axis=2)
     fresh = (cand_ids >= 0) & ~stale
     safe = jnp.where(fresh, cand_ids, 0)
     d = space.gather_dists(q, safe)

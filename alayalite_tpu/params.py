@@ -128,6 +128,14 @@ class IndexParams:
     # than shards the engine falls back to sequential per-shard search with
     # a host merge (same results; lets a sharded index build/run anywhere).
     db_shards: int = 1
+    # Mesh-sharded BUILD (parallel/build_sharded.py): > 1 builds one graph
+    # with node rows sharded over a ("db",) mesh of this many devices —
+    # NND rounds, pools, and prunes run SPMD with the data shards rotating
+    # over ICI, so build-time HBM scales with chips (SURVEY §2c build
+    # parallelism; the reference's multi-threaded HNSWBuilder analog).
+    # Supported for raw/sq graph types (hnsw/nsg/fusion base layer);
+    # requires at least this many JAX devices at fit time.
+    build_shards: int = 1
     # when the tombstoned fraction of stored vectors exceeds this, remove()
     # triggers a batched edge rewire: every live node that lost a neighbor
     # re-selects edges through the removed nodes' 2-hop neighborhoods (the
@@ -170,12 +178,24 @@ class IndexParams:
         if int(self.capacity) > 2**30 - 1:
             # the limit is the PACKED sort payload, not bare int32: the
             # top-k merge units pack id*2+flag into one int32 lane
-            # (ops/topk.py), so ids must fit 30 bits + sign
-            raise ValueError(
-                "capacity exceeds the packed node-id range (2**30 - 1; "
-                "ids ride int32 sort lanes as id*2+flag) — shard the "
-                "database across devices (db_shards) for larger "
-                "collections")
+            # (ops/topk.py), so PER-DEVICE ids must fit 30 bits + sign.
+            # Sharded engines go beyond it: each shard's local ids stay in
+            # range and the host-side global ids are int64 (the reference's
+            # u64 template instantiation, dispatch.hpp:25-175) — so allow
+            # any capacity whose per-shard slice fits, requiring a 64-bit
+            # id_type once global ids can exceed int32.
+            per_shard = -(-int(self.capacity) // max(1, int(self.db_shards)))
+            if int(self.db_shards) <= 1 or per_shard > 2**30 - 1:
+                raise ValueError(
+                    "capacity exceeds the packed node-id range (2**30 - 1; "
+                    "ids ride int32 sort lanes as id*2+flag) — shard the "
+                    "database (db_shards) so each shard's slice fits")
+            if (int(self.capacity) > 2**31 - 2
+                    and self.id_type not in ("uint64", "int64")):
+                raise ValueError(
+                    "capacity beyond 2**31 - 2 rows needs a 64-bit id_type "
+                    "(the reference's u64 dispatch, dispatch.hpp:25-175): "
+                    "set id_type='int64' or 'uint64'")
         if int(self.max_nbrs) <= 0:
             raise ValueError("max_nbrs must be positive")
         self.capacity = int(self.capacity)
@@ -190,6 +210,16 @@ class IndexParams:
         self.db_shards = int(self.db_shards)
         if self.db_shards < 1:
             raise ValueError("db_shards must be >= 1")
+        self.build_shards = int(self.build_shards)
+        if self.build_shards < 1:
+            raise ValueError("build_shards must be >= 1")
+        if self.build_shards > 1 and (
+                self.index_type is IndexType.FLAT
+                or self.quantization_type.is_block):
+            raise ValueError(
+                "build_shards > 1 applies to raw/sq graph builds "
+                "(hnsw/nsg/fusion); flat has no graph and block (bsq8) "
+                "builds are single-device (use db_shards to scale them)")
         if self.db_shards > 1:
             ok = (self.index_type is IndexType.FLAT
                   or self.quantization_type is QuantizationType.BSQ8)
@@ -229,6 +259,7 @@ class IndexParams:
             "seed_sample": self.seed_sample,
             "rabitq_ef_boost": self.rabitq_ef_boost,
             "db_shards": self.db_shards,
+            "build_shards": self.build_shards,
             "rotator": self.rotator,
             "compaction_threshold": self.compaction_threshold,
             "flat_mode": self.flat_mode,

@@ -58,12 +58,13 @@ def _make_builder(params: IndexParams, seed: int = 0):
 
     r = params.max_nbrs
     l = params.ef_construction
+    a = float(getattr(params, "prune_alpha", 1.0))
     if params.index_type is IndexType.HNSW:
-        return HNSWBuilder(r=r, l=l, seed=seed)
+        return HNSWBuilder(r=r, l=l, seed=seed, alpha=a)
     if params.index_type is IndexType.NSG:
-        return NSGBuilder(r=r, l=max(l // 2, 64), seed=seed)
+        return NSGBuilder(r=r, l=max(l // 2, 64), seed=seed, alpha=a)
     if params.index_type is IndexType.FUSION:
-        return FusionGraphBuilder(r=r, l=l, seed=seed)
+        return FusionGraphBuilder(r=r, l=l, seed=seed, alpha=a)
     raise ValueError(f"no graph builder for {params.index_type}")
 
 
@@ -163,7 +164,9 @@ class IndexEngine:
             r = (32 if self.params.quantization_type is not
                  QuantizationType.BSQ8 else self.params.max_nbrs)
             builder = QGBuilder(r=r,
-                                ef=max(self.params.ef_construction, 128))
+                                ef=max(self.params.ef_construction, 128),
+                                alpha=float(getattr(self.params,
+                                                    "prune_alpha", 1.0)))
             # build_graph donates search-space code buffers mid-pipeline
             # (interim block pack + final re-encode); unbind ours first so
             # a failed build can never leave the engine referencing

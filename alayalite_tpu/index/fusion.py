@@ -45,15 +45,18 @@ class FusionGraphBuilder:
     r: int = 32
     l: int = 200
     chunk: int = 4096
+    alpha: float = 1.0
     seed: int = 0
 
     def build_graph(self, space, n: Optional[int] = None) -> Graph:
         if n is None:
             n = int(space.num)
         primary = HNSWBuilder(r=self.r, l=self.l, chunk=self.chunk,
+                              alpha=self.alpha,
                               seed=self.seed).build_graph(space, n)
         secondary = NSGBuilder(r=self.r, l=max(self.l // 2, 64),
-                               chunk=self.chunk, seed=self.seed
+                               chunk=self.chunk, alpha=self.alpha,
+                               seed=self.seed
                                ).build_graph(space, n)
         a = np.asarray(primary.nbrs[:n])
         b = np.asarray(secondary.nbrs[:n])

@@ -85,17 +85,39 @@ def occlusion_prune_chunk(
 
     valid = cand_i >= 0
 
-    def step(carry, j):
-        selected, count = carry                                    # [C, M], [C]
-        d_j = cand_d[:, j]                                         # [C]
-        # occluded if any selected t has d(t, j) < alpha * d(node, j)
-        occ = jnp.any(selected & (pair_d[:, :, j] < alpha * d_j[:, None]), axis=1)
-        take = valid[:, j] & jnp.isfinite(d_j) & (~occ) & (count < r)
-        selected = selected.at[:, j].set(take)
-        return (selected, count + take.astype(jnp.int32)), None
+    def make_step(a: float):
+        def step(carry, j):
+            selected, count = carry                                # [C, M], [C]
+            d_j = cand_d[:, j]                                     # [C]
+            # occluded if some selected t is alpha-times closer than the
+            # node: a * d(t, j) < d(node, j). Threshold form d_j/a only
+            # holds for d_j >= 0 (l2); the -IP convention goes negative,
+            # where the equivalent shrink is d_j*a — both move the occluded
+            # region strictly inward as a grows; a=1 is reference-exact.
+            if a == 1.0:
+                thr = d_j
+            else:
+                thr = d_j * jnp.where(d_j >= 0, 1.0 / a, a)
+            occ = jnp.any(selected & (pair_d[:, :, j] < thr[:, None]),
+                          axis=1)
+            take = (valid[:, j] & jnp.isfinite(d_j) & (~occ) & (count < r)
+                    & (~selected[:, j]))
+            selected = selected.at[:, j].set(selected[:, j] | take)
+            return (selected, count + take.astype(jnp.int32)), None
+        return step
 
+    # Progressive relaxation (DiskANN's occlude_list: rounds of increasing
+    # cur_alpha fill remaining slots). A single relaxed pass is a trap: the
+    # ascending-distance scan fills the r cap with near-duplicates before
+    # any diverse long edge is reached and cross-cluster connectivity dies
+    # (measured: recall 0.98 -> 0.48 at 2k x 96, 24 clusters). Pass 1 at
+    # alpha=1 selects the reference-exact diverse backbone; pass 2 only
+    # densifies rows that still have spare capacity.
     init = (jnp.zeros((C, M), dtype=bool), jnp.zeros((C,), dtype=jnp.int32))
-    (selected, _), _ = jax.lax.scan(step, init, jnp.arange(M))
+    (selected, count), _ = jax.lax.scan(make_step(1.0), init, jnp.arange(M))
+    if alpha != 1.0:
+        (selected, count), _ = jax.lax.scan(make_step(alpha),
+                                            (selected, count), jnp.arange(M))
 
     # compact selected ids to the left, -1 pad
     sel_d = jnp.where(selected, cand_d, FINF)

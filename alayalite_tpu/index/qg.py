@@ -39,6 +39,7 @@ class QGBuilder:
     ef: int = 128
     knn_k: int = 32
     chunk: int = 4096
+    alpha: float = 1.0  # occlusion slack (params.prune_alpha)
     nnd_iters: int = 0  # 0 = auto (~log2 n rounds)
     pool_iters: int = 0  # build-pool beam hop cap (0 = beam auto)
     pool_scan: int = 4096  # seed-scan sample for build pools (0 = off)
@@ -182,13 +183,14 @@ class QGBuilder:
         log.info("qg: candidate pools %.1fs", time.time() - t0)
 
         nbrs_dev = prune_all_dev(raw_space, cand_d, cand_i, r=self.r,
-                                 chunk=self.chunk)
+                                 alpha=self.alpha, chunk=self.chunk)
         sync(nbrs_dev)
         log.info("qg: prune %.1fs", time.time() - t0)
         rev = reverse_edges_dev(nbrs_dev, jax.random.PRNGKey(self.seed + 3),
                                 width=2 * self.r)
         nbrs_dev = reprune_with_reverse_dev(raw_space, nbrs_dev, rev,
-                                            r=self.r, chunk=self.chunk)
+                                            r=self.r, alpha=self.alpha,
+                                            chunk=self.chunk)
         sync(nbrs_dev)
         log.info("qg: reverse+reprune %.1fs", time.time() - t0)
         nbrs_dev = fill_degree_dev(nbrs_dev, cand_d, cand_i, r=self.r,

@@ -167,17 +167,29 @@ def _occlude_mat(cand_d, cand_i, vecs_c, sq_c, r: int, alpha: float,
             sq_c[:, :, None] + sq_c[:, None, :] - 2.0 * dots, 0.0)
     valid = cand_i >= 0
 
-    def step(carry, j):
-        selected, count = carry
-        d_j = cand_d[:, j]
-        occ = jnp.any(selected & (pair_d[:, :, j] < alpha * d_j[:, None]),
-                      axis=1)
-        take = valid[:, j] & jnp.isfinite(d_j) & (~occ) & (count < r)
-        selected = selected.at[:, j].set(take)
-        return (selected, count + take.astype(jnp.int32)), None
+    def make_step(a):
+        def step(carry, j):
+            selected, count = carry
+            d_j = cand_d[:, j]
+            # sign-safe alpha threshold + progressive relaxation, same as
+            # prune.occlusion_prune_chunk (see the rationale there)
+            if a == 1.0:
+                thr = d_j
+            else:
+                thr = d_j * jnp.where(d_j >= 0, 1.0 / a, a)
+            occ = jnp.any(selected & (pair_d[:, :, j] < thr[:, None]),
+                          axis=1)
+            take = (valid[:, j] & jnp.isfinite(d_j) & (~occ) & (count < r)
+                    & (~selected[:, j]))
+            selected = selected.at[:, j].set(selected[:, j] | take)
+            return (selected, count + take.astype(jnp.int32)), None
+        return step
 
     init = (jnp.zeros((c, m), dtype=bool), jnp.zeros((c,), jnp.int32))
-    (selected, _), _ = jax.lax.scan(step, init, jnp.arange(m))
+    (selected, count), _ = jax.lax.scan(make_step(1.0), init, jnp.arange(m))
+    if alpha != 1.0:
+        (selected, count), _ = jax.lax.scan(make_step(alpha),
+                                            (selected, count), jnp.arange(m))
     sel_d = jnp.where(selected, cand_d, FINF)
     _, order = jax.lax.top_k(-sel_d, r)
     return jnp.take_along_axis(jnp.where(selected, cand_i, -1), order,
@@ -530,7 +542,8 @@ def build_graph_sharded(space, n: int, r: int, params, mesh=None):
 
     data = np.asarray(space.data[:n].astype(jnp.float32))
     builder = ShardedGraphBuilder(
-        mesh=mesh, r=r, knn_k=32, alpha=1.0,
+        mesh=mesh, r=r, knn_k=32,
+        alpha=float(getattr(params, "prune_alpha", 1.0)),
         ef=max(2 * r, 64), metric=space.metric)
     nbrs, ep = builder.build(data, n)
     rng = np.random.default_rng(0xA1A7A ^ n)

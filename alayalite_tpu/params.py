@@ -128,6 +128,16 @@ class IndexParams:
     # than shards the engine falls back to sequential per-shard search with
     # a host merge (same results; lets a sharded index build/run anywhere).
     db_shards: int = 1
+    # occlusion-rule slack for the graph builders (hnsw/nsg/fusion/qg):
+    # 1.0 == the reference's MRNG heuristic (an edge to j is dropped when
+    # some already-selected t has d(t, j) < d(node, j)). alpha > 1 runs a
+    # second, relaxed selection pass (DiskANN occlude_list's progressive
+    # cur_alpha rounds): pass 1 keeps the reference-exact diverse backbone,
+    # pass 2 fills remaining row capacity with edges whose occluder is not
+    # alpha-times closer. Where distances concentrate (high ambient dim,
+    # e.g. GIST-960) the strict rule over-prunes and rows run far under
+    # max_nbrs; alpha 1.15-1.3 densifies them without losing diversity.
+    prune_alpha: float = 1.0
     # Mesh-sharded BUILD (parallel/build_sharded.py): > 1 builds one graph
     # with node rows sharded over a ("db",) mesh of this many devices —
     # NND rounds, pools, and prunes run SPMD with the data shards rotating
@@ -260,6 +270,7 @@ class IndexParams:
             "rabitq_ef_boost": self.rabitq_ef_boost,
             "db_shards": self.db_shards,
             "build_shards": self.build_shards,
+            "prune_alpha": self.prune_alpha,
             "rotator": self.rotator,
             "compaction_threshold": self.compaction_threshold,
             "flat_mode": self.flat_mode,

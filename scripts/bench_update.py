@@ -22,12 +22,16 @@ enable_compile_cache()
 from alayalite_tpu import Index, IndexParams  # noqa: E402
 from alayalite_tpu.utils.datasets import random_dataset  # noqa: E402
 
-N, DIM, BATCH = 100_000, 128, 512
+N = int(os.environ.get("BU_N", "100000"))
+DIM = int(os.environ.get("BU_DIM", "128"))
+BATCH = int(os.environ.get("BU_BATCH", "512"))
+QUANT = os.environ.get("BU_QUANT", "bsq8")  # bsq8 | sq8 | none (raw path)
+SKIP_COMPACT = os.environ.get("BU_SKIP_COMPACT", "") == "1"
 ds = random_dataset(n=N, dim=DIM, n_queries=0, seed=42, clusters=N // 2000)
 
 idx = Index("u", IndexParams(index_type="hnsw", capacity=N + 32 * BATCH,
                              max_nbrs=32, ef_construction=200,
-                             quantization_type="bsq8"))
+                             quantization_type=QUANT))
 t0 = time.time()
 idx.fit(ds.data)
 print(f"build {time.time()-t0:.1f}s", flush=True)
@@ -69,6 +73,8 @@ print(f"insert steady (1024-batch): {3*1024/dt:,.0f} vec/s", flush=True)
 # < 5 s host time with the vectorized rewire_candidates). Cycle 1 pays the
 # one-time XLA compiles of the [A, W]-bucketed rewire shapes; cycle 2 on a
 # fresh index is the steady state a long-lived serving process sees.
+if SKIP_COMPACT:
+    sys.exit(0)
 for cycle in (1, 2):
     jdx = Index(f"c{cycle}", IndexParams(
         index_type="hnsw", capacity=N + 32 * BATCH, max_nbrs=32,

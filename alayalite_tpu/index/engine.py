@@ -409,13 +409,24 @@ class IndexEngine:
                 self.search_space, _ = self.search_space.insert(jnp.asarray(v))
             return np.asarray(ids)
 
+        trace = os.environ.get("ALAYA_TRACE_INSERT") == "1"
+        tt = time.time()
+
+        def tick(label):
+            nonlocal tt
+            if trace:
+                log.info("insert[%s]: %.2fs", label, time.time() - tt)
+            tt = time.time()
+
         # 1. find neighbors for the new nodes with the current graph
         ids_nb, _d = self.batch_search_with_distance(v, r, ef=max(ef, r))
+        tick("search")
         # 2. append vectors
         self.space, new_ids = self.space.insert(jnp.asarray(v))
         if self.search_space is not self.space:
             self.search_space, _ = self.search_space.insert(jnp.asarray(v))
         new_ids_np = np.asarray(new_ids)
+        tick("append")
         # 3. fused on-device connect (fused_insert.fused_raw_connect):
         #    new-row scatter + reverse re-prune in ONE program — the
         #    adjacency never leaves the device (the round-3 host path
@@ -443,18 +454,23 @@ class IndexEngine:
         rpad = np.full((tp, k), -1, np.int32)
         if touched.size:
             rpad[: touched.size] = rev
+        tick("prep")
         nbrs2 = fused_raw_connect(
             self.space, self.graph.nbrs, jnp.asarray(nid),
             jnp.asarray(nrow), jnp.asarray(tpad), jnp.asarray(rpad),
             row_w=row_r, chunk=chunk)
         self.graph = Graph(nbrs=nbrs2, eps=self.graph.eps,
                            overlay=self.graph.overlay)
+        if trace:
+            np.asarray(nbrs2[:1])  # sync so the connect phase is visible
+        tick("connect")
         # 4. draw levels and link into the overlay hierarchy (hnswlib.hpp
         #    add_point layers>0; P(level>=l)=R^-l)
         from .overlay_update import extend_overlay
 
         self.graph = extend_overlay(self.graph, self.space, new_ids_np,
                                     self._rng, r)
+        tick("overlay")
         return new_ids_np
 
     def _insert_block_fused(self, vectors, ef: int = 100) -> np.ndarray:

@@ -93,7 +93,12 @@ def fused_block_insert(
     bad = ((~ok)[None, :] | (~ok)[:, None]
            | (jnp.arange(B)[:, None] == jnp.arange(B)[None, :]))
     pin = jnp.where(bad, FINF, pin)
-    kb = min(r, B)
+    # mates are capped at 4 candidates so a batch landing in one tight
+    # region cannot crowd the searched graph edges out of the top-r row
+    # (see fused_raw_connect: unbounded mates collapsed fresh rows onto
+    # the batch island, churn recall 0.81 -> 0.69); 4 is plenty for
+    # within-island reachability of an outlier batch
+    kb = min(4, B)
     nd_in, sel_in = jax.lax.top_k(-pin, kb)
     batch_ids = jnp.where(jnp.isfinite(nd_in), slots[sel_in], -1)
     cand_n = jnp.concatenate([ids_nb, batch_ids], axis=1)
@@ -179,10 +184,10 @@ def fused_raw_connect(
     C = graph_nbrs.shape[0]
     T, K = touched.shape[0], rev.shape[1]
 
-    # 1. new rows = occlusion prune of [searched existing edges ∪ the
-    #    batch's own nearest]. The search ran BEFORE the append, so its
-    #    results cannot reference same-batch nodes — but the reference
-    #    inserts sequentially, where point t DOES link to points < t
+    # 1. new rows = a few within-batch mates + the searched existing
+    #    edges. The search ran BEFORE the append, so its results cannot
+    #    reference same-batch nodes — but the reference inserts
+    #    sequentially, where point t DOES link to points < t
     #    (graph_update_job.hpp:66-89); without the within-batch edges a
     #    batch of outliers forms an unreachable island (measured: 0.15
     #    self-recall on a 40-outlier batch). One [B, B] MXU pairwise
@@ -204,32 +209,77 @@ def fused_raw_connect(
     nd_in, sel_in = jax.lax.top_k(-pin, kb)
     batch_ids = jnp.where(jnp.isfinite(nd_in), new_ids[sel_in], -1)
 
-    r_s = new_rows.shape[1]
-    ex_safe = jnp.where(new_rows >= 0, new_rows, 0)
-    d_ex = space.gather_dists(vnew, ex_safe)
-    d_ex = jnp.where(new_rows >= 0, d_ex, FINF)
-    cand_n = jnp.concatenate([new_rows, batch_ids], axis=1)     # [B, r+kb]
-    cd_n = jnp.concatenate([d_ex, -nd_in], axis=1)
-    pruned_new = occlusion_prune_chunk(space, vnew, cd_n, cand_n,
-                                       r=row_w, alpha=alpha)
+    # New rows = a small QUOTA of batch mates + the searched neighbors,
+    # never a joint prune. Two measured traps shape this:
+    #  - joint occlusion over [searched ∪ mates]: when the batch lands in
+    #    one tight region (the common online-update pattern) mates are
+    #    nearest, get selected first, and any handful of selected
+    #    co-located mates occludes EVERY remote searched candidate with
+    #    probability ~1 - 2^-k (mate<->candidate distance differs from
+    #    node<->candidate distance by a zero-mean projection) — fresh
+    #    rows collapse onto the batch island and detach from the graph
+    #    (30%-churn recall 0.81 -> 0.69, rows 92-100% batch-internal);
+    #  - occlusion over the searched set alone: the candidate pool is
+    #    already exactly row-width, so the prune only THINS the row
+    #    (degree 16 -> ~7, churn recall 0.50) — the reference prunes an
+    #    ef_construction-deep pool down to R, never an R-deep one.
+    # So: up to 4 mates (occlusion-diversified among themselves, enough
+    # for within-island reachability of an outlier batch) take priority,
+    # the searched top-r fills the rest unpruned — the reference's
+    # sequential insert gets the same mix for free: early points anchor
+    # to the graph before later mates exist (graph_update_job.hpp:66-89).
+    q_m = min(4, kb)
+    rows_m = occlusion_prune_chunk(space, vnew, -nd_in, batch_ids,
+                                   r=q_m, alpha=alpha)
+    cat_i = jnp.concatenate([rows_m, new_rows], axis=1)  # ids disjoint
+    if cat_i.shape[1] < row_w:  # fusion rows are 2*max_nbrs wide
+        cat_i = jnp.pad(cat_i, ((0, 0), (0, row_w - cat_i.shape[1])),
+                        constant_values=-1)
+    order = jnp.argsort(cat_i < 0, axis=1, stable=True)
+    pruned_new = jnp.take_along_axis(cat_i, order, axis=1)[:, :row_w]
     full_rows = jnp.where(ok_n[:, None], pruned_new, -1)
     w_idx = jnp.where(ok_n, new_ids, C)
     graph_nbrs = graph_nbrs.at[w_idx].set(full_rows, mode="drop")
 
     # 2. re-prune every touched dst: candidates = current edges ∪ the new
-    #    sources; exact distances; occlusion rule at full row width —
-    #    chunked in-jit to bound the [chunk, M, M] pair tensor
+    #    sources; occlusion rule at full row width, then FILL the remaining
+    #    slots with the unselected CURRENT edges in distance order — chunked
+    #    in-jit to bound the [chunk, M, M] pair tensor.
+    #
+    #    The fill is load-bearing (measured on 30% churn, fresh batches
+    #    co-located at the origin): without it the occlusion pass over a
+    #    row_w+K pool (a) THINS the row — the pool is barely deeper than the
+    #    row, so rows decay 16 -> ~9 edges per churn round — and (b) lets
+    #    the co-located fresh sources occlude every remote current edge with
+    #    p ~ 1-2^-k, so origin-adjacent base rows swing to 60-100% fresh
+    #    edges and the base graph fragments (recall 0.81 -> 0.50 over 3
+    #    rounds). With the fill, degree is preserved and one batch can only
+    #    displace as many existing edges as it has occlusion-DIVERSE sources
+    #    (~1-2 when the batch is one tight cluster). The reference gets the
+    #    bounded version for free by inserting sequentially: each insert
+    #    offers a touched row exactly ONE new candidate
+    #    (hnswlib.hpp:291-350 via graph_update_job.hpp:66-89).
     nck = T // chunk
 
     def body(args):
         t_c, rev_c = args
         t_safe = jnp.where(t_c >= 0, t_c, 0)
-        cand = jnp.concatenate([graph_nbrs[t_safe], rev_c], axis=1)
+        cur = graph_nbrs[t_safe]                       # [chunk, row_w]
+        cand = jnp.concatenate([cur, rev_c], axis=1)
         q = space.data[t_safe].astype(jnp.float32)
         d = space.gather_dists(q, jnp.where(cand >= 0, cand, 0))
         d = jnp.where(cand >= 0, d, FINF)
-        return occlusion_prune_chunk(space, q, d, cand, r=row_w,
-                                     alpha=alpha)
+        sel = occlusion_prune_chunk(space, q, d, cand, r=row_w,
+                                    alpha=alpha)
+        in_sel = (cur[:, :, None] == sel[:, None, :]).any(-1)
+        d_fill = jnp.where(in_sel, FINF, d[:, :row_w])  # unselected cur only
+        ord_f = jnp.argsort(d_fill, axis=1)
+        fill = jnp.take_along_axis(cur, ord_f, axis=1)
+        fill = jnp.where(jnp.isfinite(
+            jnp.take_along_axis(d_fill, ord_f, axis=1)), fill, -1)
+        cat = jnp.concatenate([sel, fill], axis=1)      # sel first, asc dist
+        order = jnp.argsort(cat < 0, axis=1, stable=True)
+        return jnp.take_along_axis(cat, order, axis=1)[:, :row_w]
 
     pruned = jax.lax.map(body, (touched.reshape(nck, chunk),
                                 rev.reshape(nck, chunk, K)))

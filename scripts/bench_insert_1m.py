@@ -1,0 +1,86 @@
+"""Measure steady-state online-insert throughput on the raw-graph path.
+
+VERDICT r3 #2 asked for the fused raw connect (hnsw/nsg/fusion: adjacency
+never leaves the device, fused_insert.fused_raw_connect) to be MEASURED at
+1M scale — the r3 host path shipped the full [C, W] adjacency both ways per
+batch and ran 1.1-1.2k vec/s. Reference analog: GraphUpdateJob::
+insert_and_update (graph_update_job.hpp:66-89), sequential per-point.
+
+Writes results/insert_throughput_1m.json. Usage (real TPU, no env
+overrides):  timeout 3600 python scripts/bench_insert_1m.py [n]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from alayalite_tpu.utils.platforms import enable_compile_cache
+
+enable_compile_cache("/root/repo/.jax_cache")
+
+import numpy as np  # noqa: E402
+
+from alayalite_tpu import Index, IndexParams  # noqa: E402
+from alayalite_tpu.utils.datasets import random_dataset  # noqa: E402
+from alayalite_tpu.utils.evaluate import calc_recall  # noqa: E402
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    dim, batch, rounds = 128, 4096, 8
+    ds = random_dataset(n=n, dim=dim, n_queries=1024, clusters=500, seed=42)
+    idx = Index("ins", IndexParams(index_type="hnsw", capacity=n + 200_000,
+                                   max_nbrs=32, ef_construction=128))
+    t0 = time.time()
+    idx.fit(ds.data)
+    build_s = time.time() - t0
+    print(f"build {build_s:.1f}s", flush=True)
+    eng = idx._engine
+    rng = np.random.default_rng(7)
+
+    def fresh_batch():
+        # in-distribution churn: perturbed copies of existing points
+        base = ds.data[rng.integers(0, n, size=batch)]
+        return (base + 0.1 * rng.normal(size=(batch, dim))).astype(np.float32)
+
+    t0 = time.time()
+    idx.insert(fresh_batch())
+    np.asarray(eng.graph.nbrs[:1])  # sync (block_until_ready lies via tunnel)
+    warm_s = time.time() - t0
+    print(f"first insert (compiles) {warm_s:.1f}s", flush=True)
+
+    rates = []
+    for i in range(rounds):
+        fb = fresh_batch()
+        t0 = time.time()
+        new_ids = idx.insert(fb)
+        np.asarray(eng.graph.nbrs[:1])
+        dt = time.time() - t0
+        rates.append(batch / dt)
+        print(f"round {i}: {batch / dt:.0f} vec/s ({dt * 1e3:.0f} ms)",
+              flush=True)
+
+    # sanity: the last inserted batch is findable
+    got = idx.batch_search(fb[:256], 10, ef_search=96)
+    hit = float(np.mean([np.asarray(new_ids)[i] in got[i]
+                         for i in range(256)]))
+    gt = ds.gt if ds.gt is not None else None
+    out = {
+        "config": f"hnsw raw 1M-scale insert, n={n} dim={dim} R=32 "
+                  f"batch={batch}",
+        "build_s": round(build_s, 1),
+        "first_insert_s": round(warm_s, 1),
+        "vec_per_s_median": round(float(np.median(rates)), 0),
+        "vec_per_s_best": round(float(np.max(rates)), 0),
+        "self_hit_after": hit,
+    }
+    os.makedirs("results", exist_ok=True)
+    with open("results/insert_throughput_1m.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,7 @@ def main() -> None:
     p.add_argument("--quant", default="none")
     p.add_argument("--max-nbrs", type=int, default=32)
     p.add_argument("--ef-construction", type=int, default=200)
+    p.add_argument("--prune-alpha", type=float, default=1.0)
     p.add_argument("--efs", type=int, nargs="+",
                    default=[16, 24, 32, 48, 64, 96, 128, 192, 256])
     p.add_argument("--base-fvecs", help="fvecs file for base vectors")
@@ -59,6 +60,7 @@ def main() -> None:
     idx = Index("sweep", IndexParams(
         index_type=args.index, capacity=args.n, max_nbrs=args.max_nbrs,
         quantization_type=args.quant,
+        prune_alpha=args.prune_alpha,
         ef_construction=args.ef_construction))
     t0 = time.time()
     idx.fit(data)

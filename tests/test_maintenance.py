@@ -110,6 +110,67 @@ def test_overlay_full_level_degrades_gracefully():
     assert hit >= 0.8, hit
 
 
+def test_outlier_batch_insert_reachable():
+    """A co-located batch of OUTLIERS must stay reachable after one insert
+    call: searched edges anchor the island to the graph and the capped
+    within-batch mates (fused_insert.fused_raw_connect) link it internally.
+    The reference gets both for free from sequential insert — point t links
+    to points < t (graph_update_job.hpp:66-89). Measured without the
+    within-batch edges: 0.15 self-recall on a 40-outlier batch."""
+    ds = random_dataset(n=N, dim=DIM, n_queries=4, seed=13)
+    idx = Index("t", IndexParams(index_type="hnsw", capacity=N + 64,
+                                 max_nbrs=16, ef_construction=64))
+    idx.fit(ds.data)
+    rng = np.random.default_rng(7)
+    out = (20.0 + 0.5 * rng.normal(size=(40, DIM))).astype(np.float32)
+    new_ids = np.asarray(idx.insert(out))
+    assert (new_ids >= 0).all()
+    q = (out[:16] + 0.05 * rng.normal(size=(16, DIM))).astype(np.float32)
+    all_data = np.concatenate([ds.data, out])
+    all_ids = np.concatenate([np.arange(N), new_ids]).astype(np.int64)
+    d2 = ((q[:, None] - all_data[None]) ** 2).sum(-1)
+    gt = all_ids[np.argsort(d2, axis=1)[:, :10]]
+    ids = idx.batch_search(q, 10, ef_search=96)
+    rec = calc_recall(ids, gt)
+    assert rec >= 0.8, f"outlier-batch recall {rec}"
+
+
+def test_extend_overlay_device_matches_host(monkeypatch):
+    """The one-dispatch device overlay link (_extend_overlay_dev) reproduces
+    the host path's linking semantics: same level membership, same down
+    chains, same search behavior. (The device path exists because the host
+    loop costs 50-100 eager dispatches per insert batch — 21-37 s through a
+    TPU tunnel.)"""
+    ds = random_dataset(n=N, dim=DIM, n_queries=8, seed=17)
+    got = {}
+    for mode in ("1", ""):
+        monkeypatch.setenv("ALAYA_OVERLAY_HOST", mode)
+        idx = Index(f"t{mode}", IndexParams(index_type="hnsw",
+                                            capacity=N + 512, max_nbrs=8,
+                                            ef_construction=64))
+        idx.fit(ds.data)
+        idx._engine._rng = np.random.default_rng(42)  # same level draws
+        new = (ds.data[:256] + 0.05 * np.random.default_rng(5)
+               .normal(size=(256, DIM)).astype(np.float32))
+        new_ids = np.asarray(idx.insert(new))
+        hits = idx.batch_search(new[:32], 5, ef_search=64)
+        hit = np.mean([new_ids[i] in hits[i] for i in range(32)])
+        got[mode] = ([np.asarray(l.ids) for l in idx._engine.graph.overlay],
+                     [np.asarray(l.down) for l in idx._engine.graph.overlay],
+                     hit)
+    ids_h, down_h, hit_h = got["1"]
+    ids_d, down_d, hit_d = got[""]
+    for li in range(len(ids_h)):
+        assert set(ids_h[li][ids_h[li] >= 0]) == set(ids_d[li][ids_d[li] >= 0]), li
+        occ = np.flatnonzero(ids_d[li] >= 0)
+        if li + 1 < len(ids_d):
+            below = ids_d[li + 1]
+            assert (below[down_d[li][occ]] == ids_d[li][occ]).all(), li
+        else:
+            assert (down_d[li][occ] == ids_d[li][occ]).all()
+    assert hit_d >= 0.9 and hit_h >= 0.9, (hit_h, hit_d)
+
+
 def test_seed_sample_survives_roundtrip(tmp_path):
     """seed_sample (and search_iters) persist through save/load — a tuned
     0 value must not silently reset to 4096 (round-2 advisor, params.py)."""

@@ -16,6 +16,9 @@ Env:
   GF_R        row width (default 48)
   GF_EFC      ef_construction (default 200)
   GF_EFS      comma ef ladder (default 32,48,64,96,128)
+  GF_QUANT    sq8 (default, thin-row) | rabitq | rabitq2 (block path —
+              1/2-bit neighbor codes fit 960-d blocks in HBM where sq8
+              blocks would need 30 GB; estimator error shrinks ~1/sqrt(D))
   GF_N/GF_DIM override the shape for smoke runs
 Writes results/gist960_frontier.json (appends a config block per run).
 """
@@ -121,6 +124,45 @@ def chip_rate(idx, queries, ef: int, iters: int) -> float:
     return q.shape[0] / dt
 
 
+def chip_rate_block(idx, queries, ef: int, iters: int) -> float:
+    """On-chip QPS for the block path (seed scan + block beam, exact
+    rerank inside block_beam_search), x4 in one jit — mirrors bench.py's
+    chip_rate_graph."""
+    import jax
+    import jax.numpy as jnp
+
+    from alayalite_tpu.index.search import block_beam_search, scan_seeds
+
+    eng = idx._engine
+    space, valid = eng.search_space, eng.space.valid
+    ss = eng._seed_scan_arrays()
+    eps = eng.graph.eps
+    m = eng.params.beam_expand
+    nb = int(os.environ.get("GF_PROBE_Q", "1024"))
+    qd = space.prep_query(jnp.asarray(
+        np.asarray(queries[:nb], dtype=np.float32)))
+
+    @jax.jit
+    def run(space, valid, ss, eps, q):
+        def body(i, acc):
+            qc = q + acc * 1e-12
+            seeds = (scan_seeds(qc, *ss) if ss is not None else
+                     jnp.broadcast_to(eps[None, :], (qc.shape[0],
+                                                     eps.shape[0])))
+            d, _ = block_beam_search(space, seeds, qc, k=K, ef=ef,
+                                     max_iters=iters, valid=valid,
+                                     n_expand=m)
+            return acc + d[0, 0]
+        return jax.lax.fori_loop(0, 4, body, jnp.float32(0.0))
+
+    args = (space, valid, ss, eps, qd)
+    np.asarray(run(*args))  # compile + warm
+    t0 = time.time()
+    np.asarray(run(*args))
+    dt = max(time.time() - t0 - 0.035, 1e-6) / 4
+    return qd.shape[0] / dt
+
+
 def main() -> None:
     from alayalite_tpu import Index, IndexParams
     from alayalite_tpu.utils.evaluate import calc_recall
@@ -129,13 +171,17 @@ def main() -> None:
     r = int(os.environ.get("GF_R", "48"))
     efc = int(os.environ.get("GF_EFC", "200"))
     alpha = float(os.environ.get("GF_ALPHA", "1.0"))
+    quant = os.environ.get("GF_QUANT", "sq8")
     efs = [int(e) for e in
            os.environ.get("GF_EFS", "32,48,64,96,128").split(",")]
+    if quant in ("rabitq", "rabitq2"):
+        r = 32  # RaBitQSpace blocks are fixed-degree 32 (engine.fit)
 
-    cfg = f"hnsw_sq8_R{r}_efc{efc}" + (f"_a{alpha}" if alpha != 1.0 else "")
+    cfg = f"hnsw_{quant}_R{r}_efc{efc}" + (f"_a{alpha}" if alpha != 1.0
+                                           else "")
     idx = Index(cfg, IndexParams(index_type="hnsw", capacity=N, max_nbrs=r,
                                  ef_construction=efc, prune_alpha=alpha,
-                                 quantization_type="sq8"))
+                                 quantization_type=quant))
     t0 = time.time()
     idx.fit(data)
     build_s = time.time() - t0
@@ -154,7 +200,10 @@ def main() -> None:
                "qps_e2e": round(qps, 1)}
         try:
             iters = int(getattr(idx._engine.params, "search_iters", 0))
-            row["qps_chip"] = round(chip_rate(idx, queries, ef, iters), 1)
+            probe = (chip_rate_block
+                     if idx._engine.params.quantization_type.is_block
+                     else chip_rate)
+            row["qps_chip"] = round(probe(idx, queries, ef, iters), 1)
         except Exception as e:  # pragma: no cover - chip-only path
             row["qps_chip_error"] = str(e)[:200]
         rows.append(row)

@@ -223,3 +223,20 @@ def test_uint8_data_with_bsq8_graph():
     idx.fit(data)
     ids = idx.batch_search(data[:32].astype(np.float32), 5, ef_search=48)
     assert float((ids[:, 0] == np.arange(32)).mean()) >= 0.95
+
+
+def test_rabitq2_highdim_block_recall():
+    """The GIST-960 block config in miniature: rabitq2 (2-bit neighbor
+    codes) + prune_alpha on a high-dim clustered shape. Guards the 960-d
+    frontier path (results/gist960_frontier.json): 2-bit estimates must
+    stay accurate enough at high ambient dim to drive traversal, with the
+    in-search exact rerank recovering the final ordering."""
+    ds = random_dataset(n=3000, dim=192, n_queries=64, seed=9, topk=K,
+                        clusters=24)
+    idx = Index("rq2hd", IndexParams(index_type="hnsw", capacity=3000,
+                                     ef_construction=96, prune_alpha=1.2,
+                                     quantization_type="rabitq2"))
+    idx.fit(ds.data)
+    ids = idx.batch_search(ds.queries, K, ef_search=64)
+    rec = calc_recall(ids, ds.gt)
+    assert rec >= 0.9, f"rabitq2 high-dim recall {rec}"

@@ -96,7 +96,11 @@ def _quant_space_type(params: IndexParams):
     return BQGSpace
 
 
-def _make_quant_space(params: IndexParams, capacity: int, dim: int):
+def _make_quant_space(params: IndexParams, capacity: int, dim: int,
+                      storage=None):
+    """``storage``: optional (data, sq_norms, valid, num) raw-slab arrays
+    for the rabitq path to adopt instead of allocating its own f32 copy
+    (ignored by the other quantizers, which store codes only)."""
     if params.quantization_type is QuantizationType.NONE:
         return None
     if params.quantization_type is QuantizationType.SQ8:
@@ -114,7 +118,7 @@ def _make_quant_space(params: IndexParams, capacity: int, dim: int):
         bits = 2 if params.quantization_type is QuantizationType.RABITQ2 else 1
         return RaBitQSpace.create(capacity, dim, metric=params.metric.value,
                                   rotator=getattr(params, "rotator", "matrix"),
-                                  bits=bits)
+                                  bits=bits, storage=storage)
     if params.quantization_type is QuantizationType.BSQ8:
         from ..spaces.bqg import BQGSpace
 
@@ -153,8 +157,23 @@ class IndexEngine:
             self.params.ef_construction = int(ef_construction)
         t0 = time.time()
         self.space = _make_space(self.params, capacity, dim).fit(v)
-        q = _make_quant_space(self.params, capacity, dim)
-        self.search_space = q.fit(v) if q is not None else self.space
+        if (self.params.quantization_type in (QuantizationType.RABITQ,
+                                              QuantizationType.RABITQ2)
+                and self.space.data.dtype == jnp.float32):
+            # adopt the raw f32 slab instead of allocating + uploading a
+            # second copy (3.8 GB at 1M x 960): both spaces store the
+            # identical normalize-then-store rows, and nothing on the
+            # rabitq path donates data/sq_norms (only bits/f_add/f_rescale
+            # buffers are donated, rabitq.py::_quantize_block_into). jnp
+            # arrays are immutable, so aliasing is safe; post-fit inserts
+            # naturally de-alias through .at[].set.
+            self.search_space = _make_quant_space(
+                self.params, capacity, dim,
+                storage=(self.space.data, self.space.sq_norms,
+                         self.space.valid, self.space.num))
+        else:
+            q = _make_quant_space(self.params, capacity, dim)
+            self.search_space = q.fit(v) if q is not None else self.space
 
         if self.params.quantization_type.is_block:
             # block quantizations imply the QG-style graph: adjacency +
@@ -404,8 +423,14 @@ class IndexEngine:
         r = self.params.max_nbrs
 
         if self.params.index_type is IndexType.FLAT:
+            # capture identity BEFORE rebinding: checking after would see
+            # old-vs-new pytrees, double the insert, and permanently fork
+            # search_space off the quantization-free fast path
+            same = self.search_space is self.space
             self.space, ids = self.space.insert(jnp.asarray(v))
-            if self.search_space is not self.space:
+            if same:
+                self.search_space = self.space
+            else:
                 self.search_space, _ = self.search_space.insert(jnp.asarray(v))
             return np.asarray(ids)
 
@@ -421,9 +446,13 @@ class IndexEngine:
         # 1. find neighbors for the new nodes with the current graph
         ids_nb, _d = self.batch_search_with_distance(v, r, ef=max(ef, r))
         tick("search")
-        # 2. append vectors
+        # 2. append vectors (identity captured before rebinding — see the
+        #    FLAT branch note)
+        same = self.search_space is self.space
         self.space, new_ids = self.space.insert(jnp.asarray(v))
-        if self.search_space is not self.space:
+        if same:
+            self.search_space = self.space
+        else:
             self.search_space, _ = self.search_space.insert(jnp.asarray(v))
         new_ids_np = np.asarray(new_ids)
         tick("append")
@@ -568,8 +597,11 @@ class IndexEngine:
                 f"(got min={raw.min()}, max={raw.max()})")
         self._mutations = getattr(self, "_mutations", 0) + 1
         arr = jnp.atleast_1d(jnp.asarray(ids, dtype=jnp.int32))
+        same = self.search_space is self.space
         self.space = self.space.remove(arr)
-        if self.search_space is not self.space:
+        if same:
+            self.search_space = self.space
+        else:
             self.search_space = self.search_space.remove(arr)
         if self.graph is None:
             return

@@ -76,9 +76,13 @@ class BQGSpace:
             dmin=jnp.zeros((dim,), dtype=jnp.float32),
             scale=jnp.ones((dim,), dtype=jnp.float32),
             nbr_ids=jnp.full((capacity, degree), -1, dtype=jnp.int32),
-            nbr_codes=jnp.full((capacity, degree, cdim), 128,
-                               dtype=jnp.uint8),
-            nbr_xsq=jnp.zeros((capacity, degree), dtype=jnp.float32),
+            # neighbor blocks allocate DEFERRED (0 rows): the ~4 GB code
+            # tensor (1M x 32 x 128) would otherwise sit idle through the
+            # kNN phase before the interim block pack first writes it.
+            # _blocks_alloc() materializes full-capacity buffers on first
+            # use; every writer goes through it.
+            nbr_codes=jnp.full((0, degree, cdim), 128, dtype=jnp.uint8),
+            nbr_xsq=jnp.zeros((0, degree), dtype=jnp.float32),
             valid=jnp.zeros((capacity,), dtype=bool),
             num=jnp.zeros((), dtype=jnp.int32),
             # cos = normalize-then-L2 (order-equivalent); ip is its own path:
@@ -88,6 +92,15 @@ class BQGSpace:
             metric="ip" if metric == "ip" else "l2",
             user_metric=metric,
         )
+
+    def _blocks_alloc(self):
+        """Full-capacity (nbr_codes, nbr_xsq), materializing the
+        create()-deferred zero-row placeholders on first write."""
+        if self.nbr_codes.shape[0] == self.capacity:
+            return self.nbr_codes, self.nbr_xsq
+        return (jnp.full((self.capacity, self.degree, self.code_dim), 128,
+                         dtype=jnp.uint8),
+                jnp.zeros((self.capacity, self.degree), dtype=jnp.float32))
 
     def prep_query(self, q: jax.Array) -> jax.Array:
         q = jnp.asarray(q, dtype=jnp.float32)
@@ -133,8 +146,7 @@ class BQGSpace:
                 nbrs = np.pad(nbrs, ((0, 0), (0, r - nbrs.shape[1])),
                               constant_values=-1)
         nbrs_dev = self.nbr_ids.at[:n].set(jnp.asarray(nbrs))
-        codes = self.nbr_codes
-        xsq = self.nbr_xsq
+        codes, xsq = self._blocks_alloc()
         chunk = min(chunk, n)
         for lo in range(0, n, chunk):
             start = min(lo, n - chunk)
@@ -184,10 +196,11 @@ class BQGSpace:
         rows = rows[:, :r]
         codes, xsq = _encode_block(self.data, self.dmin, self.scale, rows,
                                    store_sq=self.metric == "l2")
+        codes_buf, xsq_buf = self._blocks_alloc()
         return self.replace(
             nbr_ids=self.nbr_ids.at[ids].set(rows),
-            nbr_codes=self.nbr_codes.at[ids].set(codes),
-            nbr_xsq=self.nbr_xsq.at[ids].set(xsq))
+            nbr_codes=codes_buf.at[ids].set(codes),
+            nbr_xsq=xsq_buf.at[ids].set(xsq))
 
     # ---- query-side (block-search protocol) ----
     @property

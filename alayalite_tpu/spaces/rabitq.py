@@ -123,7 +123,11 @@ class RaBitQSpace:
     @staticmethod
     def create(capacity: int, dim: int, metric: str = "l2",
                seed: int = 0, rotator: str = "matrix",
-               bits: int = 1, rot=None) -> "RaBitQSpace":
+               bits: int = 1, rot=None, storage=None) -> "RaBitQSpace":
+        """``storage``: optional (data, sq_norms, valid, num) arrays to adopt
+        instead of allocating fresh zeros — engine.fit passes the raw
+        space's slab so the f32 rows are never duplicated on device (3.8 GB
+        at 1M x 960; jnp arrays are immutable, so aliasing is safe)."""
         metric = metric.lower()
         if metric not in ("l2", "cos"):
             # the estimator is an L2 residual construction
@@ -142,21 +146,47 @@ class RaBitQSpace:
                    else make_rotation(dim, seed))
         if bits not in (1, 2):
             raise ValueError("rabitq bits must be 1 or 2")
+        if storage is not None:
+            data, sq_norms, valid, num = storage
+            if data.shape != (capacity, dim) or data.dtype != jnp.float32:
+                raise ValueError("adopted storage must be f32 [capacity, dim]")
+        else:
+            data = jnp.zeros((capacity, dim), dtype=jnp.float32)
+            sq_norms = jnp.zeros((capacity,), dtype=jnp.float32)
+            valid = jnp.zeros((capacity,), dtype=bool)
+            num = jnp.zeros((), dtype=jnp.int32)
         return RaBitQSpace(
-            data=jnp.zeros((capacity, dim), dtype=jnp.float32),
-            sq_norms=jnp.zeros((capacity,), dtype=jnp.float32),
+            data=data,
+            sq_norms=sq_norms,
             rot=jnp.asarray(rot),
             nbr_ids=jnp.full((capacity, DEGREE), -1, dtype=jnp.int32),
-            nbr_bits=jnp.zeros((capacity, DEGREE, bits * dim // 8),
+            # neighbor blocks allocate DEFERRED (0 rows): at 1M x 960 x
+            # 2-bit the packed codes are 7.7 GB that would otherwise sit
+            # idle through the whole NND/pool/prune build (the blocks are
+            # only written by update_neighbors at the very end) — the
+            # 1M x 960 rabitq2 build OOMs with them resident.
+            # _blocks_alloc() materializes full-capacity buffers on first
+            # use; every writer goes through it.
+            nbr_bits=jnp.zeros((0, DEGREE, bits * dim // 8),
                                dtype=jnp.uint8),
-            f_add=jnp.zeros((capacity, DEGREE), dtype=jnp.float32),
-            f_rescale=jnp.zeros((capacity, DEGREE), dtype=jnp.float32),
-            valid=jnp.zeros((capacity,), dtype=bool),
-            num=jnp.zeros((), dtype=jnp.int32),
+            f_add=jnp.zeros((0, DEGREE), dtype=jnp.float32),
+            f_rescale=jnp.zeros((0, DEGREE), dtype=jnp.float32),
+            valid=valid,
+            num=num,
             metric="l2",
             user_metric=metric,
             bits=bits,
         )
+
+    def _blocks_alloc(self):
+        """Full-capacity (nbr_bits, f_add, f_rescale), materializing the
+        create()-deferred zero-row placeholders on first write."""
+        if self.nbr_bits.shape[0] == self.capacity:
+            return self.nbr_bits, self.f_add, self.f_rescale
+        nbytes = self.bits * self.dim // 8
+        return (jnp.zeros((self.capacity, DEGREE, nbytes), dtype=jnp.uint8),
+                jnp.zeros((self.capacity, DEGREE), dtype=jnp.float32),
+                jnp.zeros((self.capacity, DEGREE), dtype=jnp.float32))
 
     def prep_query(self, q: jax.Array) -> jax.Array:
         q = jnp.asarray(q, dtype=jnp.float32)
@@ -200,7 +230,7 @@ class RaBitQSpace:
                 nbrs = np.pad(nbrs, ((0, 0), (0, DEGREE - nbrs.shape[1])),
                               constant_values=-1)
         nbrs_dev = self.nbr_ids.at[:n].set(jnp.asarray(nbrs))
-        bits_buf, fa_buf, fr_buf = self.nbr_bits, self.f_add, self.f_rescale
+        bits_buf, fa_buf, fr_buf = self._blocks_alloc()
         c = min(chunk, n)
         starts = list(range(0, n - c + 1, c))
         if n % c and (not starts or starts[-1] + c < n):
@@ -251,11 +281,12 @@ class RaBitQSpace:
         rows = rows[:, :DEGREE]
         bits, fa, fr = _quantize_block(self.data, self.rot, ids, rows,
                                        bits=self.bits)
+        bits_buf, fa_buf, fr_buf = self._blocks_alloc()
         return self.replace(
             nbr_ids=self.nbr_ids.at[ids].set(rows),
-            nbr_bits=self.nbr_bits.at[ids].set(_pack_bits_jnp(bits)),
-            f_add=self.f_add.at[ids].set(fa),
-            f_rescale=self.f_rescale.at[ids].set(fr))
+            nbr_bits=bits_buf.at[ids].set(_pack_bits_jnp(bits)),
+            f_add=fa_buf.at[ids].set(fa),
+            f_rescale=fr_buf.at[ids].set(fr))
 
     def remove(self, ids: jax.Array) -> "RaBitQSpace":
         ids = jnp.atleast_1d(jnp.asarray(ids, dtype=jnp.int32))

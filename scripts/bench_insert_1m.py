@@ -29,7 +29,9 @@ from alayalite_tpu.utils.evaluate import calc_recall  # noqa: E402
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    dim, batch, rounds = 128, 4096, 8
+    dim, rounds = 128, 8
+    batch = int(os.environ.get("BI_BATCH", "4096"))
+    rounds = int(os.environ.get("BI_ROUNDS", rounds))
     ds = random_dataset(n=n, dim=dim, n_queries=1024, clusters=500, seed=42)
     idx = Index("ins", IndexParams(index_type="hnsw", capacity=n + 200_000,
                                    max_nbrs=32, ef_construction=128))
@@ -77,7 +79,8 @@ def main() -> None:
         "self_hit_after": hit,
     }
     os.makedirs("results", exist_ok=True)
-    with open("results/insert_throughput_1m.json", "w") as f:
+    path = os.environ.get("BI_OUT", "results/insert_throughput_1m.json")
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

@@ -191,3 +191,31 @@ def test_rabitq2_index_end_to_end(tmp_path):
     assert idx2._engine.search_space.bits == 2
     ids2 = idx2.batch_search(ds.queries, 10, ef_search=100)
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids2))
+
+
+def test_rabitq_shares_raw_slab():
+    """engine.fit adopts the raw space's f32 slab for rabitq spaces
+    (no duplicate 3.8 GB upload at 1M x 960 — DESIGN.md round-4 HBM
+    note); the alias must survive the whole build and de-alias cleanly
+    on insert."""
+    from alayalite_tpu import Index, IndexParams
+    from alayalite_tpu.utils.datasets import random_dataset
+
+    ds = random_dataset(n=800, dim=32, n_queries=8, seed=6)
+    idx = Index("share", IndexParams(index_type="hnsw", capacity=1000,
+                                     quantization_type="rabitq2",
+                                     ef_construction=64))
+    idx.fit(ds.data)
+    eng = idx._engine
+    assert eng.search_space.data is eng.space.data
+    assert eng.search_space.sq_norms is eng.space.sq_norms
+    # deferred blocks materialized by the end-of-build update_neighbors
+    assert eng.search_space.nbr_bits.shape[0] == eng.search_space.capacity
+    new = idx.insert(ds.data[:4] + 0.01)
+    # post-insert the slabs de-alias (both written via .at[].set) but stay
+    # value-identical for the stored rows
+    n = int(eng.space.num)
+    np.testing.assert_allclose(np.asarray(eng.search_space.data[:n]),
+                               np.asarray(eng.space.data[:n]))
+    got = idx.batch_search(ds.data[:4] + 0.01, 4, ef_search=96)
+    assert all(new[i] in got[i] for i in range(4))

@@ -144,3 +144,24 @@ def test_block_insert_then_remove():
     idx.remove(new_ids[:4])
     ids = idx.batch_search(ds.queries, 10, ef_search=64)
     assert not np.isin(ids[ids >= 0], new_ids[:4]).any()
+
+
+def test_unquantized_insert_keeps_space_identity():
+    """For unquantized indexes, search_space must stay the SAME pytree as
+    space across insert/remove: the identity check used to run after the
+    rebind, which doubled every insert and permanently forked searches
+    onto the quantized-traversal + rerank branch (engine.py fix)."""
+    for itype in ("hnsw", "flat"):
+        ds = random_dataset(n=300, dim=DIM, n_queries=4, seed=31)
+        idx = Index("idn_" + itype,
+                    IndexParams(index_type=itype, capacity=400,
+                                max_nbrs=16, ef_construction=64))
+        idx.fit(ds.data)
+        eng = idx._engine
+        assert eng.search_space is eng.space
+        new = idx.insert(ds.data[:6] + 0.01)
+        assert eng.search_space is eng.space, itype
+        idx.remove(new[:2])
+        assert eng.search_space is eng.space, itype
+        got = idx.batch_search(ds.data[2:6] + 0.01, 4, ef_search=64)
+        assert all(new[2 + i] in got[i] for i in range(4)), itype

@@ -181,6 +181,11 @@ class QGBuilder:
         cand_d = jnp.concatenate([pool_d, knn_d], axis=1)
         sync(cand_i)
         log.info("qg: candidate pools %.1fs", time.time() - t0)
+        # the concats copied these — drop the device buffers now (locals
+        # would otherwise pin ~2.5 GB of dead pools/knn/bf16-space through
+        # the final 7.7 GB block allocation and OOM the 1M x 960 build)
+        pool_d = pool_i = knn_d = knn_i = None  # noqa: F841
+        sample = pool_space = None  # noqa: F841 (rebind drops device bufs)
 
         nbrs_dev = prune_all_dev(raw_space, cand_d, cand_i, r=self.r,
                                  alpha=self.alpha, chunk=self.chunk)
@@ -197,6 +202,9 @@ class QGBuilder:
                                    chunk=self.chunk)
         sync(nbrs_dev)
         log.info("qg: prune+reverse+fill %.1fs", time.time() - t0)
+        # last consumers of the candidate pools and reverse lists ran;
+        # free them before repair + the full-capacity block allocation
+        cand_d = cand_i = rev = None  # noqa: F841
 
         from .repair_dev import repair_connectivity
 

@@ -280,6 +280,13 @@ class IndexEngine:
         if self.params.quantization_type.is_block:
             from .search import block_search_device
 
+            if self.space.dim >= 512:
+                # high-dim block search: the in-search exact rerank gathers
+                # [qchunk, ef, D] f32 — at 4096 x 128 x 960 that's a 2 GB
+                # HLO temp on a chip already holding ~12 GB of blocks.
+                # Smaller slices add lax.map iterations, not dispatches.
+                qchunk = min(qchunk, 1024)
+
             if self.params.quantization_type is QuantizationType.RABITQ:
                 # 1-bit estimates need ~4x the pool width for equal recall
                 # (params.rabitq_ef_boost; the reference compensates the
@@ -427,7 +434,7 @@ class IndexEngine:
             # old-vs-new pytrees, double the insert, and permanently fork
             # search_space off the quantization-free fast path
             same = self.search_space is self.space
-            self.space, ids = self.space.insert(jnp.asarray(v))
+            self.space, ids = self._raw_insert(jnp.asarray(v))
             if same:
                 self.search_space = self.space
             else:
@@ -449,7 +456,7 @@ class IndexEngine:
         # 2. append vectors (identity captured before rebinding — see the
         #    FLAT branch note)
         same = self.search_space is self.space
-        self.space, new_ids = self.space.insert(jnp.asarray(v))
+        self.space, new_ids = self._raw_insert(jnp.asarray(v))
         if same:
             self.search_space = self.space
         else:
@@ -502,6 +509,19 @@ class IndexEngine:
         tick("overlay")
         return new_ids_np
 
+    def _raw_insert(self, vj):
+        """Append into the raw space via the single-dispatch donated program
+        when no other object aliases its buffers (a rabitq search_space
+        adopts the raw slab at fit; donating it then would invalidate the
+        alias mid-use) — eager fallback otherwise. The eager path costs ~12
+        tunnel dispatch floors (~0.4 s) per batch."""
+        ss = self.search_space
+        aliased = (ss is not None and ss is not self.space
+                   and getattr(ss, "data", None) is self.space.data)
+        if aliased:
+            return self.space.insert(vj)
+        return self.space.insert_donated(vj)
+
     def _insert_block_fused(self, vectors, ef: int = 100) -> np.ndarray:
         """Single-dispatch bsq8 insert (index/fused_insert.py): the whole
         GraphUpdateJob::insert_and_update pipeline in one jitted program.
@@ -529,7 +549,7 @@ class IndexEngine:
         self.graph = Graph(nbrs=nbrs2, eps=self.graph.eps,
                            overlay=self.graph.overlay)
         # the raw build space mirrors the same bump slots
-        self.space, _raw_ids = self.space.insert(jnp.asarray(v))
+        self.space, _raw_ids = self._raw_insert(jnp.asarray(v))
         return np.asarray(ids)[:nq]
 
     def _insert_block(self, vectors, ef: int = 100) -> np.ndarray:
@@ -547,7 +567,7 @@ class IndexEngine:
         v = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
         r = self.search_space.degree
         ids_nb, _d = self.batch_search_with_distance(v, r, ef=max(ef, r))
-        self.space, new_ids = self.space.insert(jnp.asarray(v))
+        self.space, new_ids = self._raw_insert(jnp.asarray(v))
         self.search_space, _ = self.search_space.insert_raw(jnp.asarray(v))
         new_ids_np = np.asarray(new_ids)
         ok = new_ids_np >= 0

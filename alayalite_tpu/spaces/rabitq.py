@@ -99,7 +99,13 @@ class RaBitQSpace:
     sq_norms: jax.Array    # [capacity] f32
     rot: jax.Array         # [D, D] f32 orthonormal rotation P
     nbr_ids: jax.Array     # [capacity, 32] i32 (-1 pad)
-    nbr_bits: jax.Array    # [capacity, 32, D/8] uint8 packed sign codes
+    # packed sign codes, flattened 2-D: [capacity, 32 * bits*D/8] u8.
+    # 3-D [C, 32, bits*D/8] storage made XLA materialize a full layout-
+    # conversion copy of the tensor inside every search program (the
+    # 240-byte minor dim isn't 128-aligned; 7.6 GB HLO temp at 1M x 960
+    # — OOM'd the chip). The flat minor dim is 128-aligned for every
+    # D % 32 == 0; estimate_block reshapes AFTER the per-node gather.
+    nbr_bits: jax.Array
     f_add: jax.Array       # [capacity, 32] f32
     f_rescale: jax.Array   # [capacity, 32] f32
     valid: jax.Array       # [capacity] bool
@@ -167,7 +173,7 @@ class RaBitQSpace:
             # 1M x 960 rabitq2 build OOMs with them resident.
             # _blocks_alloc() materializes full-capacity buffers on first
             # use; every writer goes through it.
-            nbr_bits=jnp.zeros((0, DEGREE, bits * dim // 8),
+            nbr_bits=jnp.zeros((0, DEGREE * bits * dim // 8),
                                dtype=jnp.uint8),
             f_add=jnp.zeros((0, DEGREE), dtype=jnp.float32),
             f_rescale=jnp.zeros((0, DEGREE), dtype=jnp.float32),
@@ -184,7 +190,7 @@ class RaBitQSpace:
         if self.nbr_bits.shape[0] == self.capacity:
             return self.nbr_bits, self.f_add, self.f_rescale
         nbytes = self.bits * self.dim // 8
-        return (jnp.zeros((self.capacity, DEGREE, nbytes), dtype=jnp.uint8),
+        return (jnp.zeros((self.capacity, DEGREE * nbytes), dtype=jnp.uint8),
                 jnp.zeros((self.capacity, DEGREE), dtype=jnp.float32),
                 jnp.zeros((self.capacity, DEGREE), dtype=jnp.float32))
 
@@ -282,9 +288,11 @@ class RaBitQSpace:
         bits, fa, fr = _quantize_block(self.data, self.rot, ids, rows,
                                        bits=self.bits)
         bits_buf, fa_buf, fr_buf = self._blocks_alloc()
+        packed = _pack_bits_jnp(bits)
         return self.replace(
             nbr_ids=self.nbr_ids.at[ids].set(rows),
-            nbr_bits=bits_buf.at[ids].set(_pack_bits_jnp(bits)),
+            nbr_bits=bits_buf.at[ids].set(
+                packed.reshape(packed.shape[0], -1)),
             f_add=fa_buf.at[ids].set(fa),
             f_rescale=fr_buf.at[ids].set(fr))
 
@@ -312,7 +320,7 @@ class RaBitQSpace:
         (rabitq_space.hpp:280-366) as one MXU contraction.
         """
         safe = jnp.clip(u, 0, self.capacity - 1)
-        packed = self.nbr_bits[safe]
+        packed = self.nbr_bits[safe].reshape(u.shape[0], DEGREE, -1)
         qb = qrot.astype(jnp.bfloat16)
         if self.bits == 1:
             b = _unpack_bits_jnp(packed, self.dim)               # [B, 32, D]
@@ -368,7 +376,11 @@ class RaBitQSpace:
             data=jnp.asarray(data),
             sq_norms=jnp.asarray((data * data).sum(-1), dtype=jnp.float32),
             nbr_ids=jnp.asarray(d["nbr_ids"], dtype=jnp.int32),
-            nbr_bits=jnp.asarray(d["nbr_bits"], dtype=jnp.uint8),
+            # accept both the current flat [C, 32*nbytes] layout and
+            # pre-round-4 3-D [C, 32, nbytes] files
+            nbr_bits=jnp.asarray(
+                np.asarray(d["nbr_bits"], dtype=np.uint8)
+                .reshape(data.shape[0], -1)),
             f_add=jnp.asarray(d["f_add"], dtype=jnp.float32),
             f_rescale=jnp.asarray(d["f_rescale"], dtype=jnp.float32),
             valid=jnp.asarray(d["valid"], dtype=bool),
@@ -394,7 +406,8 @@ def _quantize_block_into(bits_buf, fa_buf, fr_buf, data, rot, nbrs_dev, lo,
     nbrs = jax.lax.dynamic_slice_in_dim(nbrs_dev, lo, chunk)
     code, fa, fr = _quantize_block(data, rot, us, nbrs, bits=bits)
     packed = _pack_bits_jnp(code)
-    bits_buf = jax.lax.dynamic_update_slice_in_dim(bits_buf, packed, lo, 0)
+    bits_buf = jax.lax.dynamic_update_slice_in_dim(
+        bits_buf, packed.reshape(chunk, -1), lo, 0)
     fa_buf = jax.lax.dynamic_update_slice_in_dim(fa_buf, fa, lo, 0)
     fr_buf = jax.lax.dynamic_update_slice_in_dim(fr_buf, fr, lo, 0)
     return bits_buf, fa_buf, fr_buf

@@ -14,6 +14,7 @@ becomes IP.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import flax.struct
@@ -117,6 +118,17 @@ class RawSpace:
             jnp.where(ok, ids, -1),
         )
 
+    def insert_donated(self, vectors: jax.Array
+                       ) -> Tuple["RawSpace", jax.Array]:
+        """``insert`` as ONE donated jitted program: the eager path issues
+        ~a dozen device ops per batch (each ~35 ms through a TPU tunnel)
+        and copies the full slab three times; this dispatches once and
+        scatters in place. The caller must drop every other reference to
+        this space's buffers first (donation invalidates aliases) — the
+        engine only takes this path when search_space IS the space or
+        holds no alias."""
+        return _insert_donated(self, jnp.asarray(vectors))
+
     def remove(self, ids: jax.Array) -> "RawSpace":
         ids = jnp.atleast_1d(jnp.asarray(ids, dtype=jnp.int32))
         return self.replace(valid=self.valid.at[jnp.clip(ids, 0, self.capacity - 1)]
@@ -175,3 +187,8 @@ class RawSpace:
             valid=jnp.asarray(d["valid"], dtype=bool),
             num=jnp.asarray(int(d["num"]), dtype=jnp.int32),
         )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _insert_donated(space: RawSpace, v: jax.Array):
+    return space.insert(v)

@@ -30,10 +30,13 @@ from alayalite_tpu.utils.evaluate import calc_recall  # noqa: E402
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     dim, rounds = 128, 8
-    batch = int(os.environ.get("BI_BATCH", "4096"))
+    batches = [int(b) for b in
+               os.environ.get("BI_BATCH", "4096").split(",")]
     rounds = int(os.environ.get("BI_ROUNDS", rounds))
     ds = random_dataset(n=n, dim=dim, n_queries=1024, clusters=500, seed=42)
-    idx = Index("ins", IndexParams(index_type="hnsw", capacity=n + 200_000,
+    # capacity sized for every batch size's warm + timed rounds
+    room = sum(b * (rounds + 1) for b in batches) + 64 * 1024
+    idx = Index("ins", IndexParams(index_type="hnsw", capacity=n + room,
                                    max_nbrs=32, ef_construction=128))
     t0 = time.time()
     idx.fit(ds.data)
@@ -42,41 +45,52 @@ def main() -> None:
     eng = idx._engine
     rng = np.random.default_rng(7)
 
-    def fresh_batch():
+    def fresh_batch(batch):
         # in-distribution churn: perturbed copies of existing points
         base = ds.data[rng.integers(0, n, size=batch)]
         return (base + 0.1 * rng.normal(size=(batch, dim))).astype(np.float32)
 
-    t0 = time.time()
-    idx.insert(fresh_batch())
-    np.asarray(eng.graph.nbrs[:1])  # sync (block_until_ready lies via tunnel)
-    warm_s = time.time() - t0
-    print(f"first insert (compiles) {warm_s:.1f}s", flush=True)
-
-    rates = []
-    for i in range(rounds):
-        fb = fresh_batch()
+    per_batch = {}
+    for batch in batches:
         t0 = time.time()
-        new_ids = idx.insert(fb)
-        np.asarray(eng.graph.nbrs[:1])
-        dt = time.time() - t0
-        rates.append(batch / dt)
-        print(f"round {i}: {batch / dt:.0f} vec/s ({dt * 1e3:.0f} ms)",
-              flush=True)
+        idx.insert(fresh_batch(batch))
+        np.asarray(eng.graph.nbrs[:1])  # sync (block_until_ready lies via tunnel)
+        warm_s = time.time() - t0
+        print(f"[b={batch}] first insert (compiles) {warm_s:.1f}s", flush=True)
+
+        rates = []
+        for i in range(rounds):
+            fb = fresh_batch(batch)
+            t0 = time.time()
+            new_ids = idx.insert(fb)
+            np.asarray(eng.graph.nbrs[:1])
+            dt = time.time() - t0
+            rates.append(batch / dt)
+            print(f"[b={batch}] round {i}: {batch / dt:.0f} vec/s "
+                  f"({dt * 1e3:.0f} ms)", flush=True)
+        per_batch[batch] = {
+            "first_insert_s": round(warm_s, 1),
+            "vec_per_s_median": round(float(np.median(rates)), 0),
+            "vec_per_s_best": round(float(np.max(rates)), 0),
+        }
+    batch = batches[-1]
+    warm_s = per_batch[batch]["first_insert_s"]
+    rates = [per_batch[batch]["vec_per_s_median"]]
 
     # sanity: the last inserted batch is findable
     got = idx.batch_search(fb[:256], 10, ef_search=96)
     hit = float(np.mean([np.asarray(new_ids)[i] in got[i]
                          for i in range(256)]))
-    gt = ds.gt if ds.gt is not None else None
+    best = max(per_batch, key=lambda b: per_batch[b]["vec_per_s_median"])
     out = {
         "config": f"hnsw raw 1M-scale insert, n={n} dim={dim} R=32 "
-                  f"batch={batch}",
+                  f"batch={best}",
         "build_s": round(build_s, 1),
-        "first_insert_s": round(warm_s, 1),
-        "vec_per_s_median": round(float(np.median(rates)), 0),
-        "vec_per_s_best": round(float(np.max(rates)), 0),
+        "first_insert_s": per_batch[best]["first_insert_s"],
+        "vec_per_s_median": per_batch[best]["vec_per_s_median"],
+        "vec_per_s_best": per_batch[best]["vec_per_s_best"],
         "self_hit_after": hit,
+        "per_batch": {str(b): v for b, v in per_batch.items()},
     }
     os.makedirs("results", exist_ok=True)
     path = os.environ.get("BI_OUT", "results/insert_throughput_1m.json")

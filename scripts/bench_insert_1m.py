@@ -34,8 +34,9 @@ def main() -> None:
                os.environ.get("BI_BATCH", "4096").split(",")]
     rounds = int(os.environ.get("BI_ROUNDS", rounds))
     ds = random_dataset(n=n, dim=dim, n_queries=1024, clusters=500, seed=42)
-    # capacity sized for every batch size's warm + timed rounds
-    room = sum(b * (rounds + 1) for b in batches) + 64 * 1024
+    # capacity sized for every batch size's warm + timed rounds; keep the
+    # historical n+200k shape when it fits (compile-cache reuse)
+    room = max(200_000, sum(b * (rounds + 1) for b in batches) + 64 * 1024)
     idx = Index("ins", IndexParams(index_type="hnsw", capacity=n + room,
                                    max_nbrs=32, ef_construction=128))
     t0 = time.time()

@@ -10,7 +10,8 @@ M=12-16 at 3 hops buys the same number of expanded nodes as M=8 at
 being replaced: graph_search_job.hpp:221-258 (one node per step).
 
 Run (TPU):  python scripts/probe_m_iters.py
-Env: PM_GRID "m:iters:ef,m:iters:ef,..." override,
+Env: PM_GRID "m:iters:ef[:B],..." override (B = chip-probe batch size,
+     default 4096 — fixed per-hop overheads amortize with B),
      PM_ALPHA (1.2), PM_SS (16384), PM_N/PM_DIM smoke override.
 Appends config blocks to results/sift1m_frontier.json (config key
 includes m/iters so rows stay distinguishable).
@@ -41,7 +42,12 @@ N = int(os.environ.get("PM_N", "1000000"))
 DIM = int(os.environ.get("PM_DIM", "128"))
 NQ = 8192
 K = 10
-GRID = [tuple(int(x) for x in g.split(":")) for g in os.environ.get(
+def _parse(g):
+    parts = [int(x) for x in g.split(":")]
+    return tuple(parts + [4096] * (4 - len(parts)))
+
+
+GRID = [_parse(g) for g in os.environ.get(
     "PM_GRID",
     "8:4:32,10:3:30,12:3:36,16:3:48,12:4:48,16:4:64").split(",")]
 
@@ -66,7 +72,8 @@ def load_data():
     return ds.data, ds.queries, gt
 
 
-def chip_rate(idx, queries, ef: int, iters: int, m: int) -> float:
+def chip_rate(idx, queries, ef: int, iters: int, m: int,
+              nb: int = 4096) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -76,8 +83,10 @@ def chip_rate(idx, queries, ef: int, iters: int, m: int) -> float:
     space, valid = eng.search_space, eng.space.valid
     ss = eng._seed_scan_arrays()
     eps = eng.graph.eps
-    qd = space.prep_query(jnp.asarray(
-        np.asarray(queries[:4096], dtype=np.float32)))
+    q = np.asarray(queries, dtype=np.float32)
+    if nb > q.shape[0]:  # tile the query set up to the probe batch size
+        q = np.concatenate([q] * (-(-nb // q.shape[0])))[:nb]
+    qd = space.prep_query(jnp.asarray(q[:nb]))
 
     @jax.jit
     def run(space, valid, ss, eps, q):
@@ -118,23 +127,29 @@ def main() -> None:
     print(f"# build {build_s:.1f}s", file=sys.stderr, flush=True)
 
     rows = []
-    for m, iters, ef in GRID:
+    seen_recall = {}
+    for m, iters, ef, nb in GRID:
         idx._engine.params.beam_expand = m
         idx._engine.params.search_iters = iters
-        ids = idx.batch_search(queries, K, ef_search=ef)
-        rec = calc_recall(ids, gt)
-        row = {"m": m, "iters": iters, "ef": ef,
+        key = (m, iters, ef)
+        if key not in seen_recall:  # recall is B-independent
+            ids = idx.batch_search(queries, K, ef_search=ef)
+            seen_recall[key] = calc_recall(ids, gt)
+        rec = seen_recall[key]
+        row = {"m": m, "iters": iters, "ef": ef, "probe_b": nb,
                "recall10": round(float(rec), 4)}
         try:
-            row["qps_chip"] = round(chip_rate(idx, queries, ef, iters, m), 1)
+            row["qps_chip"] = round(
+                chip_rate(idx, queries, ef, iters, m, nb), 1)
         except Exception as e:  # pragma: no cover - chip-only path
             row["qps_chip_error"] = str(e)[:200]
         rows.append(row)
-        print(f"m={m} iters={iters} ef={ef}: recall@10={rec:.4f} "
+        print(f"m={m} iters={iters} ef={ef} B={nb}: recall@10={rec:.4f} "
               f"chip={row.get('qps_chip', 0):,.0f}",
               file=sys.stderr, flush=True)
 
-    cfg = f"hnsw_bsq8_a{alpha}_ss{ss}_m-iters-grid"
+    cfg = (f"hnsw_bsq8_a{alpha}_ss{ss}_m-iters-grid"
+           + os.environ.get("PM_TAG", ""))
     if (N, DIM) != (1000000, 128):
         print(json.dumps({"config": cfg, "rows": rows}))
         return

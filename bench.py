@@ -280,15 +280,18 @@ def main() -> None:
         log(f"chip-rate measurement failed: {e}")
     graph_rows = []
     if os.environ.get("ALAYA_BENCH_GRAPH", "1") == "1" and not small:
-        # operating points: 3 hops at ef=24 (the tuned 0.95-floor config,
-        # results/sweep_hop_sched.json + scripts/proto_seedscan.py), hop
-        # budget scaling with ef so the ladder genuinely reaches the
-        # matched 0.973 point instead of hop-capping below it
+        # operating points: hop budget scaling with ef so the ladder
+        # genuinely reaches the matched recall point instead of hop-capping
+        # below it (results/sweep_hop_sched.json). prune_alpha=1.2 +
+        # seed_sample=16384 are the measured 1M frontier winners
+        # (results/sift1m_frontier.json: ef=32/4 hops crosses the matched
+        # 0.9593 point at 0.9696, ~219k chip QPS; alpha=1.0 needs ef>=40).
         m = 8
         graph_rows = measure("bsq8_graph",
                              IndexParams(index_type="hnsw", capacity=n,
                                          max_nbrs=32, ef_construction=200,
                                          quantization_type="bsq8",
+                                         prune_alpha=1.2, seed_sample=16384,
                                          search_iters=3, beam_expand=m),
                              [24, 32, 40, 48, 64, 96], per_ef_iters=True)
         for r in graph_rows:

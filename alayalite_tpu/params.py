@@ -117,8 +117,9 @@ class IndexParams:
     # needs no boost and is the recommended rabitq config.
     rabitq_ef_boost: float = 4.0
     # RaBitQ rotator: "matrix" (QR orthonormal, MatrixRotator) or "fht_kac"
-    # (sign-flip + Walsh-Hadamard rounds, FhtKac rotator, power-of-two dims;
-    # materialized to its equivalent matrix at create — rotator.hpp:85-166).
+    # (sign-flip + Walsh-Hadamard rounds, FhtKac rotator; non-pow2 dims pad
+    # to the next power of two like the reference — rotator.hpp:85-166;
+    # materialized to its equivalent matrix at create).
     rotator: str = "matrix"
     # Multi-chip scaling knob (the reference's num_threads analog,
     # index.py:145-162, re-expressed as a device-mesh axis — SURVEY.md §2c):

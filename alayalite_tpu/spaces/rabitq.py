@@ -60,22 +60,27 @@ def make_fht_kac_rotation(dim: int, seed: int = 0, rounds: int = 4) -> np.ndarra
     TPU the one-off D x D materialization then rides the MXU as a plain
     matmul, which measures FASTER than per-call FWHT butterflies at
     D <= 2048 (DESIGN.md rotation study) — so this is how the FhtKac
-    *option* is wired, not a fallback. Requires power-of-two dim (the
-    reference pads; callers with odd dims use the matrix rotator).
+    *option* is wired, not a fallback.
+
+    Non-power-of-two dims follow the reference's pad-then-rotate rule
+    (rotator.hpp:127-166 pads to the next power of two): the returned
+    matrix is the [Dp, dim] column slice of the Dp x Dp transform, exactly
+    ``FhtKac(pad(x))`` since the zero pad contributes nothing. Its columns
+    are orthonormal, so norms are preserved and the estimator identity is
+    unchanged; codes live in the Dp-dim rotated space (RaBitQSpace.code_dim).
     """
-    if dim & (dim - 1):
-        raise ValueError("fht_kac rotator requires power-of-two dim "
-                         "(use rotator='matrix' otherwise)")
     from ..ops.hadamard import fwht_np
 
+    dp = 1 << (dim - 1).bit_length()
     rng = np.random.default_rng(seed)
-    m = np.eye(dim, dtype=np.float64)
+    m = np.eye(dp, dtype=np.float64)
     for _ in range(rounds):
-        signs = rng.choice([-1.0, 1.0], size=dim)
+        signs = rng.choice([-1.0, 1.0], size=dp)
         m = fwht_np(m * signs[None, :])   # flip input coords, then FWHT rows
     # m maps row-vector x via x @ m.T? We built column-transform: m[i, j] =
-    # (FhtKac e_j)[i]; x @ m.T rotates like fht_kac_rotate(x).
-    return m.T.astype(np.float32)
+    # (FhtKac e_j)[i]; x @ m.T rotates like fht_kac_rotate(x). Keeping only
+    # the first ``dim`` input coordinates implements the zero pad.
+    return m.T.astype(np.float32)[:, :dim]
 
 
 def _pack_bits(bits: np.ndarray) -> np.ndarray:
@@ -125,6 +130,12 @@ class RaBitQSpace:
     def dim(self) -> int:
         return self.data.shape[1]
 
+    @property
+    def code_dim(self) -> int:
+        """Rotated-space dim: == dim for square rotators, the next power of
+        two for FhtKac at non-pow2 dims (pad-then-rotate, rotator.hpp:127)."""
+        return self.rot.shape[0]
+
     # ---- construction ----
     @staticmethod
     def create(capacity: int, dim: int, metric: str = "l2",
@@ -152,6 +163,7 @@ class RaBitQSpace:
                    else make_rotation(dim, seed))
         if bits not in (1, 2):
             raise ValueError("rabitq bits must be 1 or 2")
+        cdim = int(np.asarray(rot).shape[0])  # rotated-space (code) dim
         if storage is not None:
             data, sq_norms, valid, num = storage
             if data.shape != (capacity, dim) or data.dtype != jnp.float32:
@@ -173,7 +185,7 @@ class RaBitQSpace:
             # 1M x 960 rabitq2 build OOMs with them resident.
             # _blocks_alloc() materializes full-capacity buffers on first
             # use; every writer goes through it.
-            nbr_bits=jnp.zeros((0, DEGREE * bits * dim // 8),
+            nbr_bits=jnp.zeros((0, DEGREE * bits * cdim // 8),
                                dtype=jnp.uint8),
             f_add=jnp.zeros((0, DEGREE), dtype=jnp.float32),
             f_rescale=jnp.zeros((0, DEGREE), dtype=jnp.float32),
@@ -189,7 +201,7 @@ class RaBitQSpace:
         create()-deferred zero-row placeholders on first write."""
         if self.nbr_bits.shape[0] == self.capacity:
             return self.nbr_bits, self.f_add, self.f_rescale
-        nbytes = self.bits * self.dim // 8
+        nbytes = self.bits * self.code_dim // 8
         return (jnp.zeros((self.capacity, DEGREE * nbytes), dtype=jnp.uint8),
                 jnp.zeros((self.capacity, DEGREE), dtype=jnp.float32),
                 jnp.zeros((self.capacity, DEGREE), dtype=jnp.float32))
@@ -322,16 +334,17 @@ class RaBitQSpace:
         safe = jnp.clip(u, 0, self.capacity - 1)
         packed = self.nbr_bits[safe].reshape(u.shape[0], DEGREE, -1)
         qb = qrot.astype(jnp.bfloat16)
+        cd = self.code_dim
         if self.bits == 1:
-            b = _unpack_bits_jnp(packed, self.dim)               # [B, 32, D]
+            b = _unpack_bits_jnp(packed, cd)                     # [B, 32, E]
             dot_b = jnp.einsum("bkd,bd->bk", b.astype(jnp.bfloat16), qb,
                                preferred_element_type=jnp.float32)
-            proj = (2.0 * dot_b - qsum[:, None]) / jnp.sqrt(float(self.dim))
+            proj = (2.0 * dot_b - qsum[:, None]) / jnp.sqrt(float(cd))
         else:
             # 2-bit: y = c - 1.5 with c = plane0 + 2*plane1; proj = <qrot, y>
-            db = self.dim // 8
-            p0 = _unpack_bits_jnp(packed[..., :db], self.dim)
-            p1 = _unpack_bits_jnp(packed[..., db:], self.dim)
+            db = cd // 8
+            p0 = _unpack_bits_jnp(packed[..., :db], cd)
+            p1 = _unpack_bits_jnp(packed[..., db:], cd)
             d0 = jnp.einsum("bkd,bd->bk", p0.astype(jnp.bfloat16), qb,
                             preferred_element_type=jnp.float32)
             d1 = jnp.einsum("bkd,bd->bk", p1.astype(jnp.bfloat16), qb,
@@ -428,7 +441,7 @@ def _quantize_block(data: jax.Array, rot: jax.Array, us: jax.Array,
     residual (step 0.9957 sigma — the Lloyd-optimal uniform 2-bit grid for
     a Gaussian, which a rotated residual is to good approximation).
     """
-    d = data.shape[1]
+    e = rot.shape[0]  # rotated-space dim (next pow2 of D for FhtKac)
     center = data[us]                                   # [C, D]
     ok = nbrs >= 0
     vecs = data[jnp.where(ok, nbrs, 0)]                 # [C, 32, D]
@@ -438,7 +451,7 @@ def _quantize_block(data: jax.Array, rot: jax.Array, us: jax.Array,
     norm_r = jnp.sqrt(jnp.sum(r * r, axis=-1))          # [C, 32]
     if bits == 1:
         code = (rrot > 0)
-        xbar = (2.0 * code.astype(jnp.float32) - 1.0) / jnp.sqrt(float(d))
+        xbar = (2.0 * code.astype(jnp.float32) - 1.0) / jnp.sqrt(float(e))
         rhat_dot_x = jnp.sum(rrot * xbar, axis=-1) / jnp.maximum(norm_r,
                                                                  1e-30)
         # degenerate fit (r == 0 or orthogonal): fall back to d²(q,u)
@@ -452,7 +465,7 @@ def _quantize_block(data: jax.Array, rot: jax.Array, us: jax.Array,
                           0.0)
         return code, f_add, f_rescale
     # 2-bit planes
-    sigma = norm_r[:, :, None] / jnp.sqrt(float(d))
+    sigma = norm_r[:, :, None] / jnp.sqrt(float(e))
     step = 0.9957 * jnp.maximum(sigma, 1e-30)
     c = jnp.clip(jnp.round(rrot / step + 1.5), 0, 3)
     y = c - 1.5                                          # [C, 32, D]

@@ -138,6 +138,7 @@ class IndexEngine:
         self._fitted = False
         self._rng = np.random.default_rng(0xA1A7A)  # overlay level draws
         self._removed: list = []   # tombstones since the last compaction
+        self._ins_shadow = None    # interim bsq8 space for insert search
 
     # ------------------------------------------------------------------ fit
     def fit(self, vectors: np.ndarray, ef_construction: Optional[int] = None,
@@ -156,6 +157,7 @@ class IndexEngine:
         if ef_construction:
             self.params.ef_construction = int(ef_construction)
         t0 = time.time()
+        self._ins_shadow = None
         self.space = _make_space(self.params, capacity, dim).fit(v)
         if (self.params.quantization_type in (QuantizationType.RABITQ,
                                               QuantizationType.RABITQ2)
@@ -450,8 +452,21 @@ class IndexEngine:
                 log.info("insert[%s]: %.2fs", label, time.time() - tt)
             tt = time.time()
 
-        # 1. find neighbors for the new nodes with the current graph
-        ids_nb, _d = self.batch_search_with_distance(v, r, ef=max(ef, r))
+        # 1. find neighbors for the new nodes with the current graph.
+        #    Raw indices route this through an interim bsq8 shadow when one
+        #    is warranted (VERDICT r4 #1): the f32 traversal ran ~2.7k QPS
+        #    at 1M while block traversal serves ~70k dev-QPS on the same
+        #    chip — the ef-deep neighbor search dominated insert throughput
+        #    (2.0k vec/s median, results/insert_throughput_1m.json r4).
+        shadow = getattr(self, "_ins_shadow", None)
+        if shadow is None and self._shadow_auto_on():
+            shadow = self._ensure_ins_shadow()
+        tick("shadowpack")
+        if shadow is not None:
+            ids_nb, _d = self._shadow_insert_search(shadow, v, r,
+                                                    ef=max(ef, r))
+        else:
+            ids_nb, _d = self.batch_search_with_distance(v, r, ef=max(ef, r))
         tick("search")
         # 2. append vectors (identity captured before rebinding — see the
         #    FLAT branch note)
@@ -500,6 +515,13 @@ class IndexEngine:
         if trace:
             np.asarray(nbrs2[:1])  # sync so the connect phase is visible
         tick("connect")
+        if shadow is not None:
+            # keep the shadow exactly in sync: re-encode the rows the fused
+            # connect just wrote (new nodes + touched reverse dsts). The
+            # raw append above DONATED the slab the shadow aliased, so every
+            # storage field rebinds to the post-append space here.
+            self._shadow_sync(shadow, np.concatenate([nid, tpad]))
+            tick("shadowupd")
         # 4. draw levels and link into the overlay hierarchy (hnswlib.hpp
         #    add_point layers>0; P(level>=l)=R^-l)
         from .overlay_update import extend_overlay
@@ -521,6 +543,92 @@ class IndexEngine:
         if aliased:
             return self.space.insert(vj)
         return self.space.insert_donated(vj)
+
+    # ----------------------------------------- quantized insert traversal
+    def _shadow_auto_on(self) -> bool:
+        """Use an interim bsq8 shadow for the insert neighbor search?
+        Raw-graph indices only (quantized indices already traverse their
+        own search space); gated by size — below ~10k rows the f32
+        traversal is already sub-dispatch-floor and the pack would cost
+        more than it saves. ALAYA_INSERT_SHADOW=0 kills, =1 forces."""
+        env = os.environ.get("ALAYA_INSERT_SHADOW", "")
+        if env == "0":
+            return False
+        if (self.params.quantization_type is not QuantizationType.NONE
+                or self.graph is None
+                or self.space.data.dtype != jnp.float32):
+            return False
+        return env == "1" or int(self.space.num) >= 10_000
+
+    def _ensure_ins_shadow(self):
+        """Interim bsq8 block space over the CURRENT graph, used only for
+        the insert-time neighbor search (the reference's insert traverses
+        whatever space the index serves with, graph_update_job.hpp:66-89;
+        a raw index here serves f32 but INSERT wants block speed). Aliases
+        the raw slab — no f32 copy; packs ~N blocks once (~9 s at 1M),
+        then stays in sync via _shadow_sync."""
+        sh = getattr(self, "_ins_shadow", None)
+        if sh is not None:
+            return sh
+        from ..spaces.bqg import BQGSpace
+
+        t0 = time.time()
+        w = int(self.graph.nbrs.shape[1])
+        n = int(self.space.num)
+        sp = BQGSpace.create(self.space.capacity, self.space.dim,
+                             metric=self.space.user_metric, degree=w)
+        live = self.space.data[:n]
+        dmin = jnp.min(live, axis=0)
+        scale = jnp.maximum((jnp.max(live, axis=0) - dmin) / 255.0, 1e-30)
+        sp = sp.replace(data=self.space.data, sq_norms=self.space.sq_norms,
+                        dmin=dmin, scale=scale, valid=self.space.valid,
+                        num=jnp.asarray(n, jnp.int32))
+        sp = sp.update_neighbors(self.graph.nbrs)
+        self._ins_shadow = sp
+        if os.environ.get("ALAYA_TRACE_INSERT") == "1":
+            np.asarray(sp.nbr_codes[:1])
+            log.info("insert shadow: packed %d blocks (w=%d) in %.2fs",
+                     n, w, time.time() - t0)
+        return sp
+
+    def _shadow_insert_search(self, shadow, v, r: int, ef: int):
+        """Step-1 neighbor search through the block shadow: one dispatch,
+        exact-reranked top-r ids (block_beam_search reranks the whole pool
+        with exact raw distances, so candidate ORDER matches the f32
+        path)."""
+        from .search import block_search_device
+
+        nq = v.shape[0]
+        qchunk = min(4096, _bucket(nq))
+        b = -(-nq // qchunk) * qchunk
+        q = np.pad(v, ((0, b - nq), (0, 0))) if b != nq else v
+        qj = shadow.prep_query(jnp.asarray(q))
+        d, i = block_search_device(
+            shadow, self.graph.eps, qj, k=r, ef=ef,
+            valid=self.space.valid,
+            max_iters=int(getattr(self.params, "search_iters", 0)),
+            n_expand=self.params.beam_expand, qchunk=qchunk,
+            seed_sample=self._seed_scan_arrays())
+        return np.asarray(i)[:nq], np.asarray(d)[:nq]
+
+    def _shadow_sync(self, shadow, ids: np.ndarray) -> None:
+        """Rebind the shadow to the post-append slab and re-encode the
+        blocks of ``ids`` (-1 pads drop) from the updated adjacency."""
+        from ..spaces.bqg import shadow_blocks_update
+
+        chunk = 8192 if ids.size > 8192 else -(-max(ids.size, 1) // 256) * 256
+        tp = -(-ids.size // chunk) * chunk
+        pad = np.full(tp, -1, np.int32)
+        pad[: ids.size] = ids
+        ni, nc, nx = shadow_blocks_update(
+            shadow.nbr_ids, shadow.nbr_codes, shadow.nbr_xsq,
+            self.space.data, shadow.dmin, shadow.scale, self.graph.nbrs,
+            jnp.asarray(pad), chunk=chunk,
+            store_sq=shadow.metric == "l2")
+        self._ins_shadow = shadow.replace(
+            data=self.space.data, sq_norms=self.space.sq_norms,
+            valid=self.space.valid, num=self.space.num,
+            nbr_ids=ni, nbr_codes=nc, nbr_xsq=nx)
 
     def _insert_block_fused(self, vectors, ef: int = 100) -> np.ndarray:
         """Single-dispatch bsq8 insert (index/fused_insert.py): the whole
@@ -616,6 +724,7 @@ class IndexEngine:
                 f"remove: id out of range [0, {self.space.capacity}) "
                 f"(got min={raw.min()}, max={raw.max()})")
         self._mutations = getattr(self, "_mutations", 0) + 1
+        self._ins_shadow = None  # stale valid mask; repack on next insert
         arr = jnp.atleast_1d(jnp.asarray(ids, dtype=jnp.int32))
         same = self.search_space is self.space
         self.space = self.space.remove(arr)
@@ -681,6 +790,7 @@ class IndexEngine:
         self._require_fitted()
         if self.graph is None:
             raise RuntimeError("flat index has no graph to update")
+        self._ins_shadow = None  # rows rewritten below; repack on next insert
         ids = np.atleast_1d(np.asarray(ids, dtype=np.int32))
         if ids.size == 0:
             return

@@ -337,6 +337,35 @@ def _encode_block_into(codes_buf, xsq_buf, data: jax.Array, dmin: jax.Array,
     return codes_buf, xsq_buf
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                   static_argnames=("chunk", "store_sq"))
+def shadow_blocks_update(nbr_ids, nbr_codes, nbr_xsq, data, dmin, scale,
+                         graph_nbrs, ids, chunk: int, store_sq: bool = True):
+    """Re-encode the neighbor blocks of arbitrary nodes ``ids`` [T] (-1
+    pads drop) from the CURRENT adjacency ``graph_nbrs`` — the maintenance
+    step of the insert shadow (engine._insert_impl): after fused_raw_connect
+    rewrites the new + touched rows, their shadow blocks must match. Chunked
+    in-jit scan bounds the [chunk, R, D] gather temp; buffers are donated so
+    the ~4 GB code tensor updates in place."""
+    w = nbr_ids.shape[1]
+    c_cap = nbr_ids.shape[0]
+    ids2 = ids.reshape(-1, chunk)
+
+    def step(bufs, ids_c):
+        ni, nc, nx = bufs
+        safe = jnp.where(ids_c >= 0, ids_c, 0)
+        rows = graph_nbrs[safe][:, :w]
+        codes, xsq = _encode_block(data, dmin, scale, rows,
+                                   store_sq=store_sq)
+        wix = jnp.where(ids_c >= 0, ids_c, c_cap)  # pads write nowhere
+        return (ni.at[wix].set(rows, mode="drop"),
+                nc.at[wix].set(codes, mode="drop"),
+                nx.at[wix].set(xsq, mode="drop")), None
+
+    (ni, nc, nx), _ = jax.lax.scan(step, (nbr_ids, nbr_codes, nbr_xsq), ids2)
+    return ni, nc, nx
+
+
 @functools.partial(jax.jit, static_argnames=("store_sq",))
 def _encode_block(data: jax.Array, dmin: jax.Array, scale: jax.Array,
                   nbrs: jax.Array, store_sq: bool = True):

@@ -73,11 +73,15 @@ def main():
     print("computing brute-force GT ...", file=sys.stderr)
     gt = calc_gt(ds.data, ds.queries, topk, fast=True)
 
-    efs = [str(e) for e in (16, 24, 32, 48, 64, 96, 128)]
+    # R / L / ef ladder overridable for non-128-d shapes (GIST-960 needs a
+    # wider ladder to cross 0.95 recall)
+    r_nbrs = os.environ.get("REF_R", "32")
+    l_cons = os.environ.get("REF_L", "200")
+    efs = os.environ.get("REF_EFS", "16,24,32,48,64,96,128").split(",")
     t0 = time.time()
     out = subprocess.run(
         [exe, os.path.join(tmp, "data.bin"), os.path.join(tmp, "queries.bin"),
-         os.path.join(tmp, "ref"), "32", "200", str(topk)] + efs,
+         os.path.join(tmp, "ref"), r_nbrs, l_cons, str(topk)] + efs,
         check=True, capture_output=True, text=True)
     print(out.stderr, file=sys.stderr)
 
@@ -96,7 +100,8 @@ def main():
                   "-O3 -march=native, AVX-512 host, 1 CPU core)",
         "workload": {"n": n, "dim": dim, "nq": nq, "topk": topk,
                      "dataset": "random_dataset(seed=42) — identical to bench.py"},
-        "config": {"index": "hnsw", "R": 32, "L": 200, "space": "raw f32 L2",
+        "config": {"index": "hnsw", "R": int(r_nbrs), "L": int(l_cons),
+                   "space": "raw f32 L2",
                    "search": "GraphSearchJob::search_solo (sync hot loop)"},
         "host_cores": os.cpu_count(),
         "rows": rows,
@@ -110,6 +115,8 @@ def main():
     }
     os.makedirs(os.path.join(REPO, "results"), exist_ok=True)
     suffix = "" if n == 100_000 else ("_1m" if n == 1_000_000 else f"_{n}")
+    if dim != 128:
+        suffix += f"_d{dim}"
     out_path = os.path.join(REPO, "results", f"reference_baseline{suffix}.json")
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)

@@ -364,10 +364,13 @@ class IndexEngine:
         n = int(self.space.num)
         if S <= 0 or n < 256:
             return None
-        # n bucketed to 1024: the sample only needs to be representative,
-        # and refreshing it per insert batch would re-pay the host gather
-        # on every call of the fused insert path
-        version = (("exact", n) if n < 2048 else ("bucket", n // 1024),
+        # n bucketed coarsely: the sample only needs to be representative,
+        # and refreshing it per insert batch re-pays a 1M-valid download +
+        # host choice + gather through the tunnel (~0.5 s — it dominated
+        # the r5 insert search phase at 4096-batch). Above 256k rows a
+        # 64k-insert staleness window is noise for a 4-16k sample.
+        bucket = 1024 if n < 262_144 else 65_536
+        version = (("exact", n) if n < 2048 else ("bucket", n // bucket),
                    getattr(self, "_mutations", 0))
         if (getattr(self, "_sscan", None) is None
                 or self._sscan_version != version):
@@ -495,10 +498,18 @@ class IndexEngine:
         nrow = np.full((b, r), -1, np.int32)
         nrow[:nq] = np.where(ok[:, None], ids_nb32, -1)
         # T and K padded to recurring buckets so the in-jit chunked map
-        # compiles once per bucket, not per batch
+        # compiles once per bucket, not per batch. Above 8k touched the
+        # bucket ladder is powers of two: steady-state T at 1M x 4096-batch
+        # wanders 50-130k, and every fresh T-shape costs a 15-30 s tunnel
+        # compile (measured r5: a 12 s connect spike per new shape); pads
+        # are -1 and drop in-kernel. Chunk 8192 (was 2048) quarters the
+        # sequential lax.map trip count — the re-prune is latency-bound on
+        # chained chunk steps, not gather bandwidth.
         t = max(int(touched.size), 1)
-        chunk = 2048 if t > 2048 else -(-t // 256) * 256
+        chunk = 8192 if t > 8192 else -(-t // 256) * 256
         tp = -(-t // chunk) * chunk
+        if t > 8192:
+            tp = 1 << (tp - 1).bit_length()
         tpad = np.full(tp, -1, np.int32)
         tpad[: touched.size] = touched
         k = rev.shape[1] if touched.size else 16

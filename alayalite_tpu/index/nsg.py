@@ -111,7 +111,8 @@ def _expand_reached(nbrs: np.ndarray, reached: np.ndarray,
         frontier = nxt
 
 
-def _attach_unreached(space, nbrs: np.ndarray, ep: int) -> np.ndarray:
+def _attach_unreached(space, nbrs: np.ndarray, ep: int,
+                      nearest_fn=None) -> np.ndarray:
     """Connectivity repair (tree_grow/attach_unlinked analog,
     nsg_builder.hpp:500-628): BFS from ep, then add ONE edge per unreached
     *component* — from the component representative's nearest reached node —
@@ -122,7 +123,12 @@ def _attach_unreached(space, nbrs: np.ndarray, ep: int) -> np.ndarray:
     each round only expands from the components it just attached (edges are
     only ever added, so the reached set only grows). Slot-rotation can in
     principle clobber a previous round's repair edge, so a full BFS
-    re-verifies before accepting convergence."""
+    re-verifies before accepting convergence.
+
+    ``nearest_fn(rep_ids [Rb] i32 np, reached [n] bool np) -> src ids
+    [Rb]`` overrides the nearest-reached scan — the serve-sharded path
+    supplies a distributed scan so the full slab never lands on one device
+    (parallel/dist_graph.py)."""
     n = nbrs.shape[0]
     reached = np.zeros(n, dtype=bool)
     _expand_reached(nbrs, reached, np.array([ep], dtype=np.int64))
@@ -148,19 +154,22 @@ def _attach_unreached(space, nbrs: np.ndarray, ep: int) -> np.ndarray:
                  _round, missing.size, reps.size)
         # nearest *reached* node of each representative — device-resident
         # (a host roundtrip of the dataset costs minutes through the tunnel)
-        from ..ops.distance import exact_topk
-
-        data = space.data[:n].astype(jnp.float32)
-        # reps padded to a shape bucket: exact_topk jits per query count,
+        # reps padded to a shape bucket: the scan jits per query count,
         # and component counts differ every round AND every build — fresh
         # shapes meant a ~30-60 s tunnel recompile per repair round
         rb = max(256, -(-reps.size // 1024) * 1024)
         reps_pad = np.full(rb, reps[0], dtype=np.int32)
         reps_pad[: reps.size] = reps
-        qs = data[jnp.asarray(reps_pad)]
-        _, near = exact_topk(qs, data, 1, metric=space.metric,
-                             valid=reached.copy())
-        srcs = near[: reps.size, 0]
+        if nearest_fn is not None:
+            srcs = np.asarray(nearest_fn(reps_pad, reached))[: reps.size]
+        else:
+            from ..ops.distance import exact_topk
+
+            data = space.data[:n].astype(jnp.float32)
+            qs = data[jnp.asarray(reps_pad)]
+            _, near = exact_topk(qs, data, 1, metric=space.metric,
+                                 valid=reached.copy())
+            srcs = near[: reps.size, 0]
         used: dict = {}
         attached = []
         for u, v in zip(reps.tolist(), srcs.tolist()):

@@ -25,7 +25,12 @@ def _assert(cond: bool, msg: str) -> None:
 
 def _make_engine(params: IndexParams):
     """db_shards > 1 routes to the row-partitioned multi-device engine
-    (parallel/engine_sharded.py); the API surface is identical."""
+    (parallel/engine_sharded.py); serve_shards > 1 to the single-graph
+    data-sharded engine (parallel/dist_graph.py). API surface identical."""
+    if getattr(params, "serve_shards", 1) > 1:
+        from .parallel.dist_graph import DistGraphEngine
+
+        return DistGraphEngine(params)
     if getattr(params, "db_shards", 1) > 1:
         from .parallel.engine_sharded import ShardedEngine
 
@@ -148,8 +153,12 @@ class Index:
         import json
 
         with open(os.path.join(directory, "schema.json")) as f:
-            db_shards = int(json.load(f).get("db_shards", 1))
-        if db_shards > 1:
+            schema = json.load(f)
+        if int(schema.get("serve_shards", 1)) > 1:
+            from .parallel.dist_graph import DistGraphEngine
+
+            engine = DistGraphEngine.load(directory)
+        elif int(schema.get("db_shards", 1)) > 1:
             from .parallel.engine_sharded import ShardedEngine
 
             engine = ShardedEngine.load(directory)

@@ -147,6 +147,16 @@ class IndexParams:
     # Supported for raw/sq graph types (hnsw/nsg/fusion base layer);
     # requires at least this many JAX devices at fit time.
     build_shards: int = 1
+    # ONE graph bigger than one chip's HBM (parallel/dist_graph.py): > 1
+    # row-shards the raw slab over a ("db",) mesh of this many devices at
+    # fit AND at serve — the adjacency (small, int32) replicates, the fat
+    # vector payload shards, and the serving beam merges each hop's owned
+    # candidate distances with one psum over ICI. Traversal is identical
+    # to the single-chip beam, so recall parity is structural. Raw graph
+    # indices (hnsw/nsg/fusion, quantization none); static after fit
+    # (search/remove; growth is a refit — the reference's big-index u64
+    # path is likewise fit-then-serve, dispatch.hpp:25-175).
+    serve_shards: int = 1
     # when the tombstoned fraction of stored vectors exceeds this, remove()
     # triggers a batched edge rewire: every live node that lost a neighbor
     # re-selects edges through the removed nodes' 2-hop neighborhoods (the
@@ -239,6 +249,20 @@ class IndexParams:
                     "db_shards > 1 supports flat indices and block (bsq8) "
                     "graphs; other graph types replicate per chip "
                     "(dp_sharded_beam_search)")
+        self.serve_shards = int(self.serve_shards)
+        if self.serve_shards < 1:
+            raise ValueError("serve_shards must be >= 1")
+        if self.serve_shards > 1:
+            if (self.index_type is IndexType.FLAT
+                    or self.quantization_type is not QuantizationType.NONE):
+                raise ValueError(
+                    "serve_shards > 1 shards ONE raw graph (hnsw/nsg/"
+                    "fusion, quantization none); use db_shards for flat/"
+                    "bsq8 fan-out sharding")
+            if self.db_shards > 1 or self.build_shards > 1:
+                raise ValueError(
+                    "serve_shards subsumes build_shards (it builds on the "
+                    "same mesh) and is exclusive with db_shards")
         if self.flat_mode not in ("fast", "exact"):
             raise ValueError(f"invalid flat_mode {self.flat_mode!r}")
 
@@ -271,6 +295,7 @@ class IndexParams:
             "rabitq_ef_boost": self.rabitq_ef_boost,
             "db_shards": self.db_shards,
             "build_shards": self.build_shards,
+            "serve_shards": self.serve_shards,
             "prune_alpha": self.prune_alpha,
             "rotator": self.rotator,
             "compaction_threshold": self.compaction_threshold,

@@ -586,6 +586,7 @@ class IndexEngine:
         t0 = time.time()
         w = int(self.graph.nbrs.shape[1])
         n = int(self.space.num)
+        log.info("insert shadow: packing %d blocks (w=%d) ...", n, w)
         sp = BQGSpace.create(self.space.capacity, self.space.dim,
                              metric=self.space.user_metric, degree=w)
         live = self.space.data[:n]

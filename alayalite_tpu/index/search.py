@@ -23,6 +23,7 @@ top-k merge, which is exactly the hnswlib ef-search stopping rule).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -299,7 +300,15 @@ def block_beam_search(
     reference's rabitq_search, graph_search_job.hpp:92-220) or BQGSpace
     (block-SQ8). One fat gather per popped node replaces R thin ones; the
     final rerank re-scores the whole ef-pool with exact raw distances
-    (covering the reference's res_pool + supplement semantics).
+    (covering the reference's supplement semantics).
+
+    1-bit spaces additionally keep the reference's RESULT POOL
+    (graph_search_job.hpp:92-153): every popped node's EXACT distance (the
+    d_center the estimator needs anyway) merges into a k-wide exact pool,
+    so a true neighbor that was expanded can never be evicted later by
+    estimator noise — the failure mode that forced rabitq_ef_boost=4 on
+    the plain estimate-pool design. Costs one tiny [B, k+M] merge per hop;
+    gated to bits==1 (sq8-grade estimates don't evict true NNs).
     """
     B = queries.shape[0]
     C = space.capacity
@@ -307,6 +316,9 @@ def block_beam_search(
     M = max(1, int(n_expand))
     if max_iters <= 0:
         max_iters = max(8, L // M + 4)
+    # ALAYA_RES_POOL=0 is the A/B kill-switch (read at trace time)
+    use_res_pool = (getattr(space, "bits", 0) == 1
+                    and os.environ.get("ALAYA_RES_POOL", "1") != "0")
 
     ctx = space.query_ctx(queries)
 
@@ -335,16 +347,28 @@ def block_beam_search(
     def has_next(pool_d, pool_i, pool_c):
         return (~pool_c) & (pool_i >= 0) & jnp.isfinite(pool_d)
 
+    res_d = jnp.full((B, int(k)), FINF, dtype=jnp.float32)
+    res_i = jnp.full((B, int(k)), -1, dtype=jnp.int32)
+
     def cond(state):
-        it, popring, pool_d, pool_i, pool_c = state
+        it, popring, pool_d, pool_i, pool_c, res_d, res_i = state
         return (it < max_iters) & jnp.any(has_next(pool_d, pool_i, pool_c))
 
     def body(state):
-        it, popring, pool_d, pool_i, pool_c = state
+        it, popring, pool_d, pool_i, pool_c, res_d, res_i = state
         u, active, pool_c = _pop_best_m(pool_d, pool_i, pool_c, M)  # [B, M]
         u_safe = jnp.where(active, u, 0)
         popring = jnp.concatenate(
             [popring[:, M:], jnp.where(active, u, -1)], axis=1)
+        if use_res_pool:
+            # exact distances of the popped nodes into the result pool
+            # (the reference computes the same d_center for the estimator)
+            du = space.gather_dists(queries, u_safe)
+            du = jnp.where(active, du, FINF)
+            res_d, res_i, _ = merge_topk_dedup(
+                res_d, res_i, jnp.zeros(res_i.shape, bool),
+                du, jnp.where(active, u, -1),
+                jnp.zeros(u.shape, bool), int(k))
         # estimate all M popped nodes' neighbor blocks in one batch
         if hasattr(space, "estimate_many"):
             est, nids = space.estimate_many(ctx, u_safe)            # [B, M*R]
@@ -366,20 +390,27 @@ def block_beam_search(
         pool_d, pool_i, pool_c = merge_topk_dedup(
             pool_d, pool_i, pool_c,
             est, jnp.where(fresh, nids, -1), jnp.zeros_like(fresh), L)
-        return it + 1, popring, pool_d, pool_i, pool_c
+        return it + 1, popring, pool_d, pool_i, pool_c, res_d, res_i
 
-    state = (jnp.zeros((), jnp.int32), popring, pool_d, pool_i, pool_c)
-    _, popring, pool_d, pool_i, pool_c = jax.lax.while_loop(cond, body, state)
+    state = (jnp.zeros((), jnp.int32), popring, pool_d, pool_i, pool_c,
+             res_d, res_i)
+    _, popring, pool_d, pool_i, pool_c, res_d, res_i = jax.lax.while_loop(
+        cond, body, state)
 
-    # exact rerank of the whole pool (res_pool + supplement semantics)
+    # exact rerank of the whole pool (supplement semantics); 1-bit spaces
+    # union in the exact result pool accumulated over every popped node
     safe = jnp.where(pool_i >= 0, pool_i, 0)
     d_exact = space.gather_dists(queries, safe)
+    if use_res_pool:
+        pool_i = jnp.concatenate([pool_i, res_i], axis=1)
+        d_exact = jnp.concatenate([d_exact, res_d], axis=1)
     node_ok = pool_i >= 0
     if valid is not None:
         node_ok &= valid[jnp.clip(pool_i, 0, C - 1)]
     # result-dedup safety net: spaces whose per-block estimates of the same
     # node differ (so dup copies are not sort-adjacent in merge_topk_dedup)
-    # can leave two live copies in the pool — L x L lower-tri compare is
+    # can leave two live copies in the pool — and a popped node sits in
+    # both the candidate and result pools. L x L lower-tri compare is
     # ~free at pool width
     Lw = pool_i.shape[1]
     dup = jnp.any((pool_i[:, :, None] == pool_i[:, None, :])

@@ -45,6 +45,22 @@ _FALLBACK_BASELINES = {
     1_000_000: (108_560.0, 0.9593),  # ef=64: 3,392.5 x 32
 }
 
+# measured reference at 250k x 960 (results/reference_baseline_250000_d960
+# .json, r5): best >=0.95-recall point ef=64, 314.3 QPS/core -> x32 linear
+_GIST_BASELINE = (10_057.6, 0.9584)
+
+
+def load_gist_baseline():
+    path = os.path.join(REPO, "results",
+                        "reference_baseline_250000_d960.json")
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        best = d["best_at_recall95_1core"]
+        return float(d["extrapolated_32core_qps"]), float(best["recall"])
+    except (OSError, KeyError, ValueError, TypeError):
+        return _GIST_BASELINE
+
 
 def load_baseline(n: int):
     """(32-core-extrapolated QPS, recall at that operating point) for the
@@ -235,7 +251,7 @@ def main() -> None:
         dt = max(time.time() - t0 - 0.035, 1e-6) / 10
         return qd.shape[0] / dt
 
-    def chip_rate_graph(idx, ef, iters, m):
+    def chip_rate_graph(idx, ef, iters, m, queries=None, chip_b=4096):
         """On-chip graph-search rate: seed scan + block beam looped x8
         inside ONE jit (same relay-floor amortization as chip_rate_flat)."""
         import jax
@@ -247,7 +263,10 @@ def main() -> None:
         space, valid = eng.search_space, eng.space.valid
         ss = eng._seed_scan_arrays()
         eps = eng.graph.eps
-        qd = space.prep_query(jnp.asarray(ds.queries[: min(4096, nq)]))
+        if queries is None:
+            queries = ds.queries
+        qd = space.prep_query(jnp.asarray(queries[: min(chip_b,
+                                                        len(queries))]))
 
         @jax.jit
         def run(space, valid, ss, eps, q):
@@ -303,6 +322,93 @@ def main() -> None:
                 log(f"graph chip-rate failed: {e}")
         rows += graph_rows
 
+    def add_pcie(row, d):
+        """qps_pcie (VERDICT r4 #6): what a production PCIe host would see
+        — chip time plus the query/result bytes over a 16 GB/s link,
+        pipelined (max, not sum: H2D of batch t+1 overlaps compute of t).
+        The tunnel's 20-50 MB/s + 35 ms floor is the test artifact; PCIe
+        moves ~600 B/query, which is noise next to microseconds of chip
+        time."""
+        if "qps_chip" not in row or not row["qps_chip"]:
+            return
+        bytes_pq = d * 4 + topk * 8  # query f32 down, ids+dists back
+        t_chip = 1.0 / row["qps_chip"]
+        row["qps_pcie"] = round(1.0 / max(t_chip, bytes_pq / 16e9), 1)
+
+    for r in rows:
+        add_pcie(r, dim)
+
+    # ---- GIST-960 arm (VERDICT r4 #4): the SECOND named shape in
+    # BASELINE.json, driver-captured so the 960-d path cannot silently
+    # regress. Matches the measured reference baseline's exact workload
+    # (250k x 960 random_dataset seed=42, 2048 queries —
+    # results/reference_baseline_250000_d960.json). rabitq2 block path:
+    # the r4 frontier winner at 960-d.
+    gist = None
+    if (os.environ.get("ALAYA_BENCH_GIST", "1") == "1" and not small
+            and dataset_name.startswith("synthetic")
+            and time.time() - t_start < 1500):
+        try:
+            gn, gdim, gnq = 250_000, 960, 2048
+            gds = random_dataset(n=gn, dim=gdim, n_queries=gnq, seed=42,
+                                 clusters=max(32, gn // 2000))
+            gt_path = os.path.join(
+                REPO, ".bench_cache",
+                f"gt_synthetic_gist250k_{gn}_{gdim}_{gnq}_k{topk}.npy")
+            if os.path.exists(gt_path):
+                ggt = np.load(gt_path)
+            else:
+                ggt = calc_gt(gds.data, gds.queries, topk, fast=True)
+                os.makedirs(os.path.join(REPO, ".bench_cache"),
+                            exist_ok=True)
+                np.save(gt_path, np.asarray(ggt))
+            g_base, g_matched = load_gist_baseline()
+            gm = 8
+            gidx = Index("gist_rabitq2",
+                         IndexParams(index_type="hnsw", capacity=gn,
+                                     max_nbrs=32, ef_construction=200,
+                                     quantization_type="rabitq2",
+                                     prune_alpha=1.2, beam_expand=gm))
+            t0 = time.time()
+            gidx.fit(gds.data)
+            g_build = time.time() - t0
+            log(f"gist arm: build {g_build:.1f}s")
+            g_rows = []
+            for ef in (48, 64, 96, 128):
+                ids = gidx.batch_search(gds.queries, topk, ef_search=ef)
+                rec = calc_recall(ids, ggt)
+                row = {"config": "gist_rabitq2_250k", "ef": ef,
+                       "recall": round(float(rec), 4),
+                       "build_s": round(g_build, 1)}
+                try:
+                    row["qps_chip"] = round(chip_rate_graph(
+                        gidx, ef, 0, gm, queries=gds.queries,
+                        chip_b=1024), 1)
+                except Exception as e:  # keep the arm best-effort
+                    log(f"gist chip-rate failed: {e}")
+                add_pcie(row, gdim)
+                g_rows.append(row)
+                log(f"gist ef={ef}: recall={rec:.4f} "
+                    f"chip={row.get('qps_chip', 0):,.0f}")
+                if rec >= g_matched:
+                    break
+            okg = [r for r in g_rows
+                   if r["recall"] >= g_matched and r.get("qps_chip")]
+            bestg = max(okg, key=lambda r: r["qps_chip"]) if okg else (
+                max(g_rows, key=lambda r: r["recall"]))
+            gist = {
+                "baseline_qps_32core": g_base,
+                "baseline_recall_point": g_matched,
+                "best": bestg,
+                "vs_baseline_gist": round(
+                    bestg.get("qps_chip", 0.0) / g_base, 4)
+                if bestg["recall"] >= g_matched else 0.0,
+                "rows": g_rows,
+            }
+            del gidx
+        except Exception as e:
+            log(f"gist arm failed: {e}")
+
     # Headline: the GRAPH config (the index class that scales past what
     # brute force can carry — flat stays a row for context) at the best
     # on-chip rate with recall >= 0.95. Chip rate vs the 32-core linear
@@ -322,6 +428,29 @@ def main() -> None:
     best = bestm if bestm is not None else best95
     thresh = matched_recall if bestm is not None else 0.95
     value = best.get("qps_chip", 0.0) if best["recall"] >= thresh else 0.0
+
+    def hop_roofline(row):
+        """Static hop roofline at the headline point (VERDICT r4 #6): the
+        block path's per-hop gather bytes vs HBM bandwidth (v5e ~819 GB/s)
+        against measured chip time — when gather_share is small the hop
+        loop is MERGE-bound (sort/top-k over the ef pool), i.e. chip
+        headroom lives in the merge networks, not in memory traffic."""
+        if "qps_chip" not in row or not row["qps_chip"]:
+            return None
+        m_, r_ = 8, 32
+        iters = iters_for(row["ef"], m_)
+        code_b = -(-dim // 128) * 128  # bsq8 code bytes/neighbor (padded)
+        bytes_hop_q = m_ * r_ * (code_b + 4 + 4) + m_ * dim * 4
+        t_chip_q = 1.0 / row["qps_chip"]
+        t_hbm_q = iters * bytes_hop_q / 819e9
+        return {
+            "iters": iters, "bytes_per_hop_per_query": bytes_hop_q,
+            "t_chip_us_per_query": round(t_chip_q * 1e6, 3),
+            "t_hbm_floor_us_per_query": round(t_hbm_q * 1e6, 3),
+            "gather_share": round(t_hbm_q / t_chip_q, 4),
+            "bound": ("hbm" if t_hbm_q / t_chip_q > 0.5 else "merge"),
+        }
+
     out = {
         "metric": f"graph_chip_qps@recall10>={thresh}_{dataset_name}",
         "value": round(value, 1),
@@ -336,6 +465,8 @@ def main() -> None:
                 best95.get("qps_chip", 0.0) / baseline_qps, 4),
             "baseline_recall_point": matched_recall,
             "rows": rows,
+            "hop_roofline": hop_roofline(best),
+            "gist960": gist,
             "total_s": round(time.time() - t_start, 1),
             "platform": jax.devices()[0].platform,
         },

@@ -37,12 +37,30 @@ def main() -> None:
     # capacity sized for every batch size's warm + timed rounds; keep the
     # historical n+200k shape when it fits (compile-cache reuse)
     room = max(200_000, sum(b * (rounds + 1) for b in batches) + 64 * 1024)
-    idx = Index("ins", IndexParams(index_type="hnsw", capacity=n + room,
-                                   max_nbrs=32, ef_construction=128))
+    # the 1M build takes ~20 min on a 1-core host and a transient
+    # remote-compile flake loses it all — cache the built index on disk
+    # (BI_CACHE=0 disables)
+    cache = os.path.join("/root/repo/.bench_cache", f"ins_{n}_{dim}")
     t0 = time.time()
-    idx.fit(ds.data)
-    build_s = time.time() - t0
-    print(f"build {build_s:.1f}s", flush=True)
+    if os.environ.get("BI_CACHE", "1") != "0" and os.path.exists(
+            os.path.join(cache, "ins", "schema.json")):
+        from alayalite_tpu import Index as _Index
+
+        idx = _Index.load(cache, "ins")
+        build_s = 0.0
+        print(f"loaded cached index from {cache} "
+              f"({time.time() - t0:.1f}s)", flush=True)
+    else:
+        idx = Index("ins", IndexParams(index_type="hnsw", capacity=n + room,
+                                       max_nbrs=32, ef_construction=128))
+        idx.fit(ds.data)
+        build_s = time.time() - t0
+        print(f"build {build_s:.1f}s", flush=True)
+        if os.environ.get("BI_CACHE", "1") != "0":
+            d = os.path.join(cache, "ins")
+            os.makedirs(d, exist_ok=True)
+            idx.save(d)
+            print(f"cached to {cache}", flush=True)
     eng = idx._engine
     rng = np.random.default_rng(7)
 

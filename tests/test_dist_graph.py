@@ -15,6 +15,10 @@ from alayalite_tpu.utils.datasets import random_dataset
 pytestmark = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
 
+# the module fixture builds two graphs (~90 s on 1 core): slow lane, except
+# the fixture-free param validation which stays in smoke
+slow = pytest.mark.slow
+
 N = 2003  # non-divisible by 8 on purpose
 
 
@@ -35,6 +39,7 @@ def _recall(got, gt):
                           for i in range(gt.shape[0])]))
 
 
+@slow
 def test_slab_is_sharded_not_replicated(fitted):
     idx, ds, gt = fitted
     eng = idx._engine
@@ -49,6 +54,7 @@ def test_slab_is_sharded_not_replicated(fitted):
     assert not eng._data_sh.is_fully_replicated
 
 
+@slow
 def test_recall_parity_vs_single_device(fitted):
     idx, ds, gt = fitted
     got = idx.batch_search(ds.queries, 10, ef_search=96)
@@ -61,6 +67,7 @@ def test_recall_parity_vs_single_device(fitted):
     assert r_dist >= 0.9, r_dist
 
 
+@slow
 def test_remove_tombstones_filter(fitted):
     idx, ds, gt = fitted
     victim = int(gt[0][0])
@@ -73,6 +80,7 @@ def test_remove_tombstones_filter(fitted):
         idx.insert(ds.data[0])  # static after fit, explicit error
 
 
+@slow
 def test_save_load_roundtrip(fitted, tmp_path):
     idx, ds, gt = fitted
     d = tmp_path / "dist"
@@ -84,6 +92,7 @@ def test_save_load_roundtrip(fitted, tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+@slow
 def test_cos_metric():
     ds = random_dataset(n=1100, dim=32, n_queries=32, seed=4)
     idx = Index("dcos", IndexParams(index_type="nsg", capacity=1100,

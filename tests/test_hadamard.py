@@ -81,6 +81,7 @@ def test_fht_kac_non_pow2_pads_like_reference():
                                np.linalg.norm(x, axis=1), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_rabitq_fht_kac_non_pow2_end_to_end():
     """VERDICT r4 missing #3: rotator='fht_kac' at D=96 (codes live in the
     128-dim rotated space; estimator identity unchanged)."""
@@ -97,6 +98,7 @@ def test_rabitq_fht_kac_non_pow2_end_to_end():
     assert np.mean(ids[:, 0] == np.arange(16)) >= 0.9
 
 
+@pytest.mark.slow
 def test_rabitq_fht_kac_rotator_end_to_end():
     from alayalite_tpu import Index, IndexParams
     from alayalite_tpu.utils.datasets import random_dataset

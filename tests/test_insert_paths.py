@@ -18,6 +18,8 @@ import jax.numpy as jnp
 
 from alayalite_tpu.spaces.raw import RawSpace
 
+pytestmark = pytest.mark.slow  # >100 s on a 1-core host
+
 
 def _mk(metric: str):
     rng = np.random.default_rng(7)

@@ -11,6 +11,8 @@ from alayalite_tpu import Index, IndexParams
 from alayalite_tpu.utils.datasets import random_dataset
 from alayalite_tpu.utils.evaluate import calc_gt, calc_recall
 
+pytestmark = pytest.mark.slow  # >100 s on a 1-core host
+
 N, DIM, NQ, TOPK = 10_000, 48, 128, 10
 
 

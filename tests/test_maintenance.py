@@ -13,6 +13,9 @@ from alayalite_tpu import Index, IndexParams
 from alayalite_tpu.index.overlay_update import draw_levels
 from alayalite_tpu.utils.datasets import random_dataset
 from alayalite_tpu.utils.evaluate import calc_gt, calc_recall
+import pytest
+
+pytestmark = pytest.mark.slow  # >100 s on a 1-core host
 
 N, DIM = 1200, 16
 

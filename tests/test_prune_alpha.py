@@ -9,6 +9,9 @@ import numpy as np
 from alayalite_tpu import Index, IndexParams
 from alayalite_tpu.utils.datasets import random_dataset
 from alayalite_tpu.utils.evaluate import calc_gt, calc_recall
+import pytest
+
+pytestmark = pytest.mark.slow  # >100 s on a 1-core host
 
 
 def _degrees(idx):

@@ -11,6 +11,8 @@ from alayalite_tpu.spaces.rabitq import RaBitQSpace, _quantize_block
 from alayalite_tpu.utils.datasets import random_dataset
 from alayalite_tpu.utils.evaluate import calc_recall
 
+pytestmark = pytest.mark.slow  # >100 s on a 1-core host
+
 
 def test_estimator_tracks_exact_distance(rng):
     """est d²(q,v) from 1-bit codes must track exact d² with the RaBitQ

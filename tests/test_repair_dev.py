@@ -14,6 +14,8 @@ from alayalite_tpu.index.repair_dev import (
     repair_connectivity_dev,
 )
 
+pytestmark = pytest.mark.slow  # >100 s on a 1-core host
+
 
 def _host_reached(nbrs, ep):
     n = nbrs.shape[0]

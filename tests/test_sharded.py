@@ -19,8 +19,9 @@ from alayalite_tpu.spaces.raw import RawSpace
 from alayalite_tpu.utils.datasets import random_dataset
 from alayalite_tpu.utils.evaluate import calc_recall
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 devices")
+pytestmark = [pytest.mark.slow,  # >100 s on a 1-core host
+              pytest.mark.skipif(len(jax.devices()) < 8,
+                                 reason="needs 8 devices")]
 
 
 def test_db_sharded_flat_matches_exact():

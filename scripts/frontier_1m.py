@@ -167,13 +167,16 @@ def main() -> None:
     m = 8
 
     seed_sample = int(os.environ.get("F1M_SEED_SAMPLE", "4096"))
+    boost = float(os.environ.get("F1M_BOOST", "4.0"))  # 1-bit rabitq only
     cfg = (f"hnsw_{quant}_R{r}_efc{efc}"
            + (f"_a{alpha}" if alpha != 1.0 else "")
-           + (f"_ss{seed_sample}" if seed_sample != 4096 else ""))
+           + (f"_ss{seed_sample}" if seed_sample != 4096 else "")
+           + (f"_b{boost:g}" if quant == "rabitq" and boost != 4.0 else ""))
     idx = Index(cfg, IndexParams(index_type="hnsw", capacity=N, max_nbrs=r,
                                  ef_construction=efc, prune_alpha=alpha,
                                  quantization_type=quant,
                                  seed_sample=seed_sample,
+                                 rabitq_ef_boost=boost,
                                  search_iters=3, beam_expand=m))
     t0 = time.time()
     idx.fit(data)

@@ -73,7 +73,11 @@ def main() -> None:
 
     rows = []
 
-    def run(cfg_name, params, efs):
+    # chip-rate probes (relay-floor-amortized in-jit loops) shared with the
+    # GIST frontier harness
+    from gist_frontier import chip_rate, chip_rate_block
+
+    def run(cfg_name, params, efs, probe=None):
         idx = Index(cfg_name, params)
         t0 = time.time()
         idx.fit(data)
@@ -86,11 +90,20 @@ def main() -> None:
             for _ in range(3):
                 idx.batch_search(queries, K, ef_search=ef)
             qps = nq / ((time.time() - t0) / 3)
-            rows.append({"config": cfg_name, "ef": ef,
-                         "recall": round(rec, 4), "qps": round(qps, 1),
-                         "build_s": round(build_s, 1)})
+            row = {"config": cfg_name, "ef": ef,
+                   "recall": round(rec, 4), "qps": round(qps, 1),
+                   "build_s": round(build_s, 1)}
+            if probe is not None:
+                try:
+                    iters = max(3, ef // 8)
+                    row["qps_chip"] = round(probe(idx, queries, ef, iters),
+                                            1)
+                except Exception as e:  # best-effort: keep the e2e row
+                    row["qps_chip_error"] = str(e)[:200]
+            rows.append(row)
             print(f"{cfg_name} ef={ef}: recall@10={rec:.4f} "
-                  f"qps={qps:,.0f} build={build_s:.1f}s", file=sys.stderr)
+                  f"qps={qps:,.0f} chip={row.get('qps_chip', 0):,.0f} "
+                  f"build={build_s:.1f}s", file=sys.stderr)
             if rec >= 0.995:
                 break
 
@@ -112,25 +125,16 @@ def main() -> None:
     run("hnsw_sq8", IndexParams(index_type="hnsw", capacity=n, max_nbrs=32,
                                 ef_construction=200,
                                 quantization_type="sq8"),
-        [32, 48, 64, 96, 128])
-    note = ""
-    if dim % 128 == 0 or os.environ.get("FMNIST_BSQ8") == "1":
-        flush()
-        run("bsq8", IndexParams(index_type="hnsw", capacity=n, max_nbrs=32,
-                                ef_construction=200,
-                                quantization_type="bsq8",
-                                search_iters=0, beam_expand=8),
-            [24, 32, 48, 64, 96, 128])
-    else:
-        # same policy as the GIST-960 shape (results/scale1m_gist960.json):
-        # packed block layouts are the <=512-d flagship; at non-MXU-aligned
-        # high dim the thin-row SQ8 graph is the supported config (the
-        # 784-d bsq8 search program crashed the remote compile helper —
-        # /tmp/fmnist.log 2026-08-19)
-        note = ("bsq8 omitted at dim=784: high-dim policy is the thin-row "
-                "sq8 graph (block layouts are the <=512-d config; see "
-                "scale1m_gist960.json note)")
-    out = flush(note)
+        [32, 48, 64, 96, 128], probe=chip_rate)
+    flush()
+    # block arm (VERDICT r4 weak #6): rabitq2 is the high-dim block winner
+    # (the 960-d deferred-alloc + flat code layout work covers 784 too)
+    run("rabitq2", IndexParams(index_type="hnsw", capacity=n, max_nbrs=32,
+                               ef_construction=200, prune_alpha=1.2,
+                               quantization_type="rabitq2",
+                               search_iters=0, beam_expand=8),
+        [32, 48, 64, 96, 128], probe=chip_rate_block)
+    out = flush()
     print(json.dumps(out)[:400])
 
 

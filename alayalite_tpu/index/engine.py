@@ -482,45 +482,29 @@ class IndexEngine:
         new_ids_np = np.asarray(new_ids)
         tick("append")
         # 3. fused on-device connect (fused_insert.fused_raw_connect):
-        #    new-row scatter + reverse re-prune in ONE program — the
-        #    adjacency never leaves the device (the round-3 host path
-        #    shipped the full [C, W] table both ways per batch, ~256 MB of
-        #    tunnel traffic at 1M x 32)
+        #    new-row scatter + in-kernel bounded reverse + re-prune in ONE
+        #    program — the adjacency never leaves the device, and since r5
+        #    neither does the reverse table (the old host group-by +
+        #    [T, 16] upload cost ~0.45 s/batch through the tunnel at
+        #    1M x 4096 — more than half the connect window).
         from .fused_insert import fused_raw_connect
 
         row_r = int(self.graph.nbrs.shape[1])  # fusion rows are 2*max_nbrs
         ok = new_ids_np >= 0
         ids_nb32 = np.asarray(ids_nb, dtype=np.int32)
-        touched, rev = _reverse_candidates(new_ids_np[ok], ids_nb32[ok])
         b = _bucket(nq)
         nid = np.full(b, -1, np.int32)
         nid[:nq] = np.where(ok, new_ids_np, -1)
         nrow = np.full((b, r), -1, np.int32)
         nrow[:nq] = np.where(ok[:, None], ids_nb32, -1)
-        # T and K padded to recurring buckets so the in-jit chunked map
-        # compiles once per bucket, not per batch. Above 8k touched the
-        # bucket ladder is powers of two: steady-state T at 1M x 4096-batch
-        # wanders 50-130k, and every fresh T-shape costs a 15-30 s tunnel
-        # compile (measured r5: a 12 s connect spike per new shape); pads
-        # are -1 and drop in-kernel. Chunk 8192 (was 2048) quarters the
-        # sequential lax.map trip count — the re-prune is latency-bound on
-        # chained chunk steps, not gather bandwidth.
-        t = max(int(touched.size), 1)
-        chunk = 8192 if t > 8192 else -(-t // 256) * 256
-        tp = -(-t // chunk) * chunk
-        if t > 8192:
-            tp = 1 << (tp - 1).bit_length()
-        tpad = np.full(tp, -1, np.int32)
-        tpad[: touched.size] = touched
-        k = rev.shape[1] if touched.size else 16
-        rpad = np.full((tp, k), -1, np.int32)
-        if touched.size:
-            rpad[: touched.size] = rev
         tick("prep")
-        nbrs2 = fused_raw_connect(
+        self._insert_key = getattr(self, "_insert_key", 0) + 1
+        import jax as _jax
+
+        nbrs2, touched_dev = fused_raw_connect(
             self.space, self.graph.nbrs, jnp.asarray(nid),
-            jnp.asarray(nrow), jnp.asarray(tpad), jnp.asarray(rpad),
-            row_w=row_r, chunk=chunk)
+            jnp.asarray(nrow), _jax.random.PRNGKey(self._insert_key),
+            row_w=row_r, chunk=min(8192, b * row_r))
         self.graph = Graph(nbrs=nbrs2, eps=self.graph.eps,
                            overlay=self.graph.overlay)
         if trace:
@@ -528,10 +512,13 @@ class IndexEngine:
         tick("connect")
         if shadow is not None:
             # keep the shadow exactly in sync: re-encode the rows the fused
-            # connect just wrote (new nodes + touched reverse dsts). The
-            # raw append above DONATED the slab the shadow aliased, so every
-            # storage field rebinds to the post-append space here.
-            self._shadow_sync(shadow, np.concatenate([nid, tpad]))
+            # connect just wrote (new nodes + touched reverse dsts — a
+            # device array straight from the kernel, no host round-trip).
+            # The raw append above DONATED the slab the shadow aliased, so
+            # every storage field rebinds to the post-append space here.
+            self._shadow_sync(shadow,
+                              jnp.concatenate([jnp.asarray(nid),
+                                               touched_dev]))
             tick("shadowupd")
         # 4. draw levels and link into the overlay hierarchy (hnswlib.hpp
         #    add_point layers>0; P(level>=l)=R^-l)
@@ -623,19 +610,23 @@ class IndexEngine:
             seed_sample=self._seed_scan_arrays())
         return np.asarray(i)[:nq], np.asarray(d)[:nq]
 
-    def _shadow_sync(self, shadow, ids: np.ndarray) -> None:
+    def _shadow_sync(self, shadow, ids) -> None:
         """Rebind the shadow to the post-append slab and re-encode the
-        blocks of ``ids`` (-1 pads drop) from the updated adjacency."""
+        blocks of ``ids`` (-1 pads drop; host or device array) from the
+        updated adjacency."""
         from ..spaces.bqg import shadow_blocks_update
 
-        chunk = 8192 if ids.size > 8192 else -(-max(ids.size, 1) // 256) * 256
-        tp = -(-ids.size // chunk) * chunk
-        pad = np.full(tp, -1, np.int32)
-        pad[: ids.size] = ids
+        ids = jnp.asarray(ids, jnp.int32)
+        n_ids = int(ids.shape[0])
+        chunk = 8192 if n_ids > 8192 else -(-max(n_ids, 1) // 256) * 256
+        tp = -(-n_ids // chunk) * chunk
+        if tp != n_ids:
+            ids = jnp.concatenate(
+                [ids, jnp.full(tp - n_ids, -1, jnp.int32)])
         ni, nc, nx = shadow_blocks_update(
             shadow.nbr_ids, shadow.nbr_codes, shadow.nbr_xsq,
             self.space.data, shadow.dmin, shadow.scale, self.graph.nbrs,
-            jnp.asarray(pad), chunk=chunk,
+            ids, chunk=chunk,
             store_sq=shadow.metric == "l2")
         self._ins_shadow = shadow.replace(
             data=self.space.data, sq_norms=self.space.sq_norms,

@@ -155,18 +155,18 @@ def fused_block_insert(
 
 
 @functools.partial(jax.jit, donate_argnums=(1,),
-                   static_argnames=("row_w", "alpha", "chunk"))
+                   static_argnames=("row_w", "alpha", "chunk", "w"))
 def fused_raw_connect(
     space,                  # RawSpace AFTER the batch's rows were appended
     graph_nbrs: jax.Array,  # [C, W] i32 adjacency (donated)
     new_ids: jax.Array,     # [B] i32 slots of the inserted rows (-1 pad)
     new_rows: jax.Array,    # [B, r] i32 edges found for the new rows
-    touched: jax.Array,     # [T] i32 reverse-edge destinations (-1 pad)
-    rev: jax.Array,         # [T, K] i32 new sources pointing at each dst
+    key: jax.Array,         # PRNG key for the reverse-slot reservoir
     row_w: int,
     alpha: float = 1.0,
     chunk: int = 2048,
-) -> jax.Array:
+    w: int = 16,
+) -> Tuple[jax.Array, jax.Array]:
     """Raw-graph edition of the fused connect: new-row scatter + bounded
     reverse re-prune in ONE program, so the adjacency never leaves the
     device (the round-3 host path downloaded + re-uploaded the full [C, W]
@@ -175,14 +175,30 @@ def fused_raw_connect(
     Covers hnsw/nsg/fusion raw and sq-quantized indices (the reference's
     GraphUpdateJob::insert_and_update, graph_update_job.hpp:66-89, with the
     heuristic re-prune of hnswlib.hpp:291-350 on every touched node).
-    ``touched`` pads are -1 (their scatter drops); duplicate touched ids
-    would read identical pre-update state and write identical rows, but the
-    host-side group-by already uniques them."""
+
+    The reverse table builds IN-KERNEL (bounded reservoir, like
+    fused_block_insert step 3): the r5 diagnostic put the old host path's
+    [T, K] upload at ~0.35 s/batch through the tunnel plus ~0.1 s of host
+    group-by — more than half the connect window. ``touched`` is the flat
+    [B*row_w] destination list WITH duplicates; duplicate rows read
+    identical post-step-1 state and write identical results, so scatter
+    order is immaterial. Returns (graph_nbrs', touched [B*row_w] i32 with
+    -1 pads) — the caller feeds ``touched`` straight into the shadow
+    block re-encode without a host round-trip.
+
+    The touched re-prune uses the PARALLEL RNG rule by default (one
+    [chunk, M, M] masked reduction instead of a 48-step sequential scan;
+    the fill restores its slight over-prune — see the r4-measured notes
+    below). ALAYA_CONNECT_PRUNE=seq keeps the sequential rule for A/Bs
+    (read at trace time)."""
+    import os
+
     from .prune import occlusion_prune_chunk
+
+    par = os.environ.get("ALAYA_CONNECT_PRUNE", "par") != "seq"
 
     B = new_ids.shape[0]
     C = graph_nbrs.shape[0]
-    T, K = touched.shape[0], rev.shape[1]
 
     # 1. new rows = a few within-batch mates + the searched existing
     #    edges. The search ran BEFORE the append, so its results cannot
@@ -259,18 +275,98 @@ def fused_raw_connect(
     #    bounded version for free by inserting sequentially: each insert
     #    offers a touched row exactly ONE new candidate
     #    (hnswlib.hpp:291-350 via graph_update_job.hpp:66-89).
-    nck = T // chunk
 
-    def body(args):
-        t_c, rev_c = args
-        t_safe = jnp.where(t_c >= 0, t_c, 0)
+    # bounded reverse reservoir, device-built (random slot; collisions
+    # drop — the reference's locked bounded insertion analog). Mates are
+    # included: a mate edge u->v proposes v->u exactly like the
+    # sequential reference, and v (a same-batch node) re-prunes against
+    # its just-written row (the donated-table write above sequences
+    # before the reads below).
+    dst = jnp.where(ok_n[:, None] & (full_rows >= 0), full_rows, C)
+    src = jnp.broadcast_to(jnp.where(ok_n, new_ids, -1)[:, None],
+                           (B, row_w))
+    slot_rand = jax.random.randint(key, (B, row_w), 0, w)
+    rev = jnp.full((C, w), -1, dtype=jnp.int32)
+    rev = rev.at[dst.reshape(-1), slot_rand.reshape(-1)].set(
+        src.reshape(-1), mode="drop")
+    touched = dst.reshape(-1)                          # [B*row_w], C = pad
+    T = touched.shape[0]
+    nck = -(-T // chunk)
+    if T % chunk:
+        touched = jnp.pad(touched, (0, nck * chunk - T),
+                          constant_values=C)
+
+    def body(t_c):
+        # Access pattern: one bf16 gather of the candidate rows feeds both
+        # the d(node, .) einsum and the occlusion pair matrix (the r5
+        # diagnostic showed the f32 double-gather alone at ~0.5 s/batch).
+        t_safe = jnp.where(t_c < C, t_c, 0)
         cur = graph_nbrs[t_safe]                       # [chunk, row_w]
-        cand = jnp.concatenate([cur, rev_c], axis=1)
-        q = space.data[t_safe].astype(jnp.float32)
-        d = space.gather_dists(q, jnp.where(cand >= 0, cand, 0))
-        d = jnp.where(cand >= 0, d, FINF)
-        sel = occlusion_prune_chunk(space, q, d, cand, r=row_w,
-                                    alpha=alpha)
+        rev_c = rev[t_safe]                            # [chunk, w]
+        cand = jnp.concatenate([cur, rev_c], axis=1)   # [chunk, M]
+        q = space.data[t_safe].astype(jnp.bfloat16)
+        safe = jnp.where(cand >= 0, cand, 0)
+        vecs = space.data[safe].astype(jnp.bfloat16)   # [chunk, M, D] ONCE
+        dot_q = jnp.einsum("cmd,cd->cm", vecs, q,
+                           preferred_element_type=jnp.float32)
+        if space.metric == "ip":
+            d = -dot_q
+            sq_c = None
+        else:
+            sq_c = space.sq_norms[safe]
+            d = jnp.maximum(space.sq_norms[t_safe][:, None]
+                            + sq_c - 2.0 * dot_q, 0.0)
+        d = jnp.where((cand >= 0) & (cand != t_c[:, None]), d, FINF)
+        mm = cand.shape[1]
+        if par:
+            # parallel RNG rule on the SAME gathered vecs: after sorting
+            # by d(node, .), j is occluded iff some nearer i has
+            # alpha-scaled d(i, j) < d(node, j) — the sequential greedy's
+            # slight over-prune is restored by the fill below. TWO sorts
+            # total (candidate order + final priority compaction); the
+            # 4-sort draft cost ~0.7 s/batch in kernel time alone.
+            ord_c = jnp.argsort(d, axis=1)                      # sort 1
+            d_s = jnp.take_along_axis(d, ord_c, axis=1)
+            cand_s = jnp.take_along_axis(cand, ord_c, axis=1)
+            dup = jnp.any((cand_s[:, None, :] == cand_s[:, :, None])
+                          & jnp.triu(jnp.ones((mm, mm), bool), k=1)[None],
+                          axis=1)                       # j dups an i < j
+            cand_s = jnp.where(dup, -1, cand_s)
+            d_s = jnp.where(dup, FINF, d_s)
+            vecs_s = jnp.take_along_axis(vecs, ord_c[:, :, None], axis=1)
+            dots = jnp.einsum("cmd,cnd->cmn", vecs_s, vecs_s,
+                              preferred_element_type=jnp.float32)
+            if space.metric == "ip":
+                pair_d = -dots
+            else:
+                sq_s = jnp.take_along_axis(sq_c, ord_c, axis=1)
+                pair_d = jnp.maximum(
+                    sq_s[:, :, None] + sq_s[:, None, :] - 2.0 * dots, 0.0)
+            if alpha == 1.0:
+                thr = d_s
+            else:
+                thr = d_s * jnp.where(d_s >= 0, 1.0 / alpha, alpha)
+            nearer = jnp.triu(jnp.ones((mm, mm), bool), k=1)[None]  # i < j
+            occ = jnp.any(nearer & (cand_s >= 0)[:, :, None]
+                          & (pair_d < thr[:, None, :]), axis=1)
+            selected = (cand_s >= 0) & jnp.isfinite(d_s) & ~occ
+            # fill preference rides the SAME compaction: priority 0 =
+            # selected, 1 = unselected CURRENT edge (the load-bearing
+            # degree-preserving fill), 2 = dropped; within a priority the
+            # sorted candidate order is already ascending distance
+            was_cur = jnp.take_along_axis(
+                jnp.arange(mm)[None, :] < row_w, ord_c, axis=1)
+            prio = jnp.where(selected, 0,
+                             jnp.where(was_cur & jnp.isfinite(d_s)
+                                       & (cand_s >= 0), 1, 2))
+            ord2 = jnp.argsort(prio * mm
+                               + jnp.arange(mm, dtype=prio.dtype)[None],
+                               axis=1)                          # sort 2
+            out = jnp.take_along_axis(cand_s, ord2, axis=1)[:, :row_w]
+            out_p = jnp.take_along_axis(prio, ord2, axis=1)[:, :row_w]
+            return jnp.where(out_p < 2, out, -1)
+        sel = occlusion_prune_chunk(space, q.astype(jnp.float32), d,
+                                    cand, r=row_w, alpha=alpha)
         in_sel = (cur[:, :, None] == sel[:, None, :]).any(-1)
         d_fill = jnp.where(in_sel, FINF, d[:, :row_w])  # unselected cur only
         ord_f = jnp.argsort(d_fill, axis=1)
@@ -281,10 +377,11 @@ def fused_raw_connect(
         order = jnp.argsort(cat < 0, axis=1, stable=True)
         return jnp.take_along_axis(cat, order, axis=1)[:, :row_w]
 
-    pruned = jax.lax.map(body, (touched.reshape(nck, chunk),
-                                rev.reshape(nck, chunk, K)))
-    t_write = jnp.where(touched >= 0, touched, C)
-    return graph_nbrs.at[t_write].set(pruned.reshape(T, row_w), mode="drop")
+    pruned = jax.lax.map(body, touched.reshape(nck, chunk))
+    t_write = jnp.where(touched < C, touched, C)
+    out_nbrs = graph_nbrs.at[t_write].set(
+        pruned.reshape(nck * chunk, row_w), mode="drop")
+    return out_nbrs, jnp.where(touched[:T] < C, touched[:T], -1)
 
 
 def _bqg_exact_dists(space, data, sq, q, ids):

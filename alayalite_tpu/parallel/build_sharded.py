@@ -241,8 +241,12 @@ class ShardedGraphBuilder:
         key = jax.random.PRNGKey(self.seed)
 
         k = self.knn_k
+        # random init needs ~log2(n) descent rounds (the single-device
+        # pipeline starts near-converged from a cluster init; here the
+        # shards rotate, so every round is a full ring pass) — the old
+        # log2(n)-6 cap left the kNN graph unconverged at >=16k (r5)
         rounds = self.rounds if self.rounds > 0 else max(
-            4, int(np.ceil(np.log2(max(n, 2)))) - 6)
+            8, int(np.ceil(np.log2(max(n, 2)))) + 2)
 
         kd, ki = self._phase("init", n, chunk, k=k)(dd, sq, key)
         log.info("sharded knn init %.1fs", time.time() - t0)
@@ -268,6 +272,15 @@ class ShardedGraphBuilder:
         nbrs = self._phase("reprune", n, max(64, chunk // 4))(
             dd, sq, nbrs, jax.random.fold_in(key, 7))
         log.info("sharded reprune %.1fs", time.time() - t0)
+
+        # degree fill (single-device fill_degree_dev analog): occlusion
+        # thins rows to ~r/3 (16k probe: mean degree 8.6/24) — fill the
+        # free slots with the nearest unselected pool candidates. Without
+        # it the graph is an RNG-island archipelago that repair's single
+        # bridges cannot make navigable (served recall 0.44 vs 0.98).
+        nbrs = self._phase("fill", n, max(64, chunk // 4),
+                           m=int(cand_i.shape[1]))(nbrs, cand_d, cand_i)
+        log.info("sharded fill %.1fs", time.time() - t0)
 
         nbrs_np = np.asarray(nbrs)[:n]
         nbrs_np = np.where(nbrs_np < n, nbrs_np, -1).astype(np.int32)
@@ -317,7 +330,16 @@ class ShardedGraphBuilder:
 
     def _make_round(self, n: int, chunk: int, k: int):
         p, metric = self.p, self.metric
-        s1, s2, s_rev, n_rand = 8, 4, 8, 4
+        # sample widths follow the single-device driver (nndescent.
+        # build_knn_graph): the r5 100k artifact run showed the old
+        # (8, 4, 8, 4) join — 44 candidates/round vs the single path's
+        # 148 — converging so slowly that the round budget ran out with
+        # the kNN graph still random-grade (served recall 0.72 vs 0.98
+        # single-device at ef=64; results/sharded_build_100k.json r5).
+        s1 = max(4, k // 2)
+        s2 = max(4, k // 4)
+        s_rev = max(8, k // 2)
+        n_rand = 4
 
         @functools.partial(jax.jit, donate_argnums=(2, 3))
         @functools.partial(
@@ -415,6 +437,18 @@ class ShardedGraphBuilder:
             key = jax.random.PRNGKey(17)
             nck = nl // chunk
 
+            # dedicated LONG-edge slots (r5): a converged kNN's 2-hop pool
+            # is purely local — occlusion then emits RNG islands (16k probe:
+            # 1.6% BFS-reachable from ep, served recall 0.44) and repair's
+            # one-bridge-per-component can't restore navigability. The
+            # single-device pipeline's beam pools carry en-route mid-range
+            # nodes for free; here Vamana-style random candidates ride in
+            # slots EXEMPT from the nearest-ww truncation, and the
+            # occlusion rule keeps the few diverse ones.
+            n_long = 8
+            pool_d = jnp.full((nl, ww + n_long), FINF, jnp.float32)
+            pool_i = jnp.full((nl, ww + n_long), -1, jnp.int32)
+
             def body(ci, carry):
                 pool_d, pool_i = carry
                 lo = ci * chunk
@@ -425,7 +459,10 @@ class ShardedGraphBuilder:
                 hop2 = jnp.take_along_axis(their, sel, axis=2)
                 hop2 = jnp.where((ki_c >= 0)[:, :, None], hop2,
                                  -1).reshape(chunk, k * s2)
-                cand = jnp.concatenate([ki_c, hop2], axis=1)
+                rand = jax.random.randint(
+                    jax.random.fold_in(key, 7770 + base + lo),
+                    (chunk, n_long), 0, n, dtype=jnp.int32)
+                cand = jnp.concatenate([ki_c, hop2, rand], axis=1)
                 me = (base + lo
                       + jnp.arange(chunk, dtype=jnp.int32)[:, None])
                 cand = jnp.where(cand == me, -1, cand)
@@ -433,16 +470,61 @@ class ShardedGraphBuilder:
                                            (chunk, dd.shape[1]))
                 qsq = jax.lax.dynamic_slice(sq, (lo,), (chunk,))
                 d = _ring_dists(qc, qsq, dd, sq, cand, p, n, metric, chunk)
-                sd, si = _sort_dedup(d, cand)
+                d_r, c_r = d[:, -n_long:], cand[:, -n_long:]
+                sd, si = _sort_dedup(d[:, :-n_long], cand[:, :-n_long])
                 pool_d = jax.lax.dynamic_update_slice(
-                    pool_d, sd[:, :ww], (lo, 0))
+                    pool_d, jnp.concatenate([sd[:, :ww], d_r], axis=1),
+                    (lo, 0))
                 pool_i = jax.lax.dynamic_update_slice(
-                    pool_i, si[:, :ww], (lo, 0))
+                    pool_i, jnp.concatenate([si[:, :ww], c_r], axis=1),
+                    (lo, 0))
                 return pool_d, pool_i
 
             return jax.lax.fori_loop(0, nck, body, (pool_d, pool_i))
 
         return pools
+
+    def _make_fill(self, n: int, chunk: int, m: int):
+        p = self.p
+        r = self.r
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        @functools.partial(
+            jax.shard_map, mesh=self.mesh,
+            in_specs=(P("db", None), P("db", None), P("db", None)),
+            out_specs=P("db", None), check_vma=False)
+        def fill(nbrs, cd, ci):
+            nl = nbrs.shape[0]
+            base = jax.lax.axis_index("db") * nl
+            nck = nl // chunk
+
+            def body(k_, out):
+                lo = k_ * chunk
+                row = jax.lax.dynamic_slice(out, (lo, 0), (chunk, r))
+                cd_c = jax.lax.dynamic_slice(cd, (lo, 0), (chunk, m))
+                ci_c = jax.lax.dynamic_slice(ci, (lo, 0), (chunk, m))
+                me = (base + lo
+                      + jnp.arange(chunk, dtype=jnp.int32)[:, None])
+                in_row = jnp.any(ci_c[:, :, None] == row[:, None, :],
+                                 axis=2)
+                ok = ((ci_c >= 0) & (ci_c < n) & ~in_row & (ci_c != me)
+                      & jnp.isfinite(cd_c))
+                order = jnp.argsort(jnp.where(ok, cd_c, FINF), axis=1)
+                add = jnp.take_along_axis(
+                    jnp.where(ok, ci_c, -1), order, axis=1)[:, :r]
+                # pool ∪ kNN candidates overlap: drop later duplicates
+                dup = jnp.any((add[:, None, :] == add[:, :, None])
+                              & jnp.triu(jnp.ones((r, r), bool),
+                                         k=1)[None], axis=1)
+                add = jnp.where(dup, -1, add)
+                cat = jnp.concatenate([row, add], axis=1)
+                order2 = jnp.argsort(cat < 0, axis=1, stable=True)
+                filled = jnp.take_along_axis(cat, order2, axis=1)[:, :r]
+                return jax.lax.dynamic_update_slice(out, filled, (lo, 0))
+
+            return jax.lax.fori_loop(0, nck, body, nbrs)
+
+        return fill
 
     def _make_prune(self, n: int, chunk: int, m: int):
         p, metric, r, alpha = self.p, self.metric, self.r, self.alpha

@@ -34,18 +34,24 @@ def main() -> None:
     ds = random_dataset(n=n, dim=dim, n_queries=nq, seed=42, clusters=64)
     gt = calc_gt(ds.data, ds.queries, k, fast=True)
 
-    idx = Index("sb100k", IndexParams(index_type="hnsw", capacity=n,
-                                      max_nbrs=24, ef_construction=96,
-                                      build_shards=8))
-    t0 = time.time()
-    idx.fit(ds.data)
-    build_s = time.time() - t0
-    rows = []
-    for ef in (48, 64, 96):
-        ids = idx.batch_search(ds.queries, k, ef_search=ef)
-        rows.append({"ef": ef,
-                     "recall10": round(float(calc_recall(ids, gt)), 4)})
-        print(rows[-1], flush=True)
+    def fit_measure(shards):
+        idx = Index(f"sb100k{shards}",
+                    IndexParams(index_type="hnsw", capacity=n,
+                                max_nbrs=24, ef_construction=96,
+                                build_shards=shards))
+        t0 = time.time()
+        idx.fit(ds.data)
+        build_s = time.time() - t0
+        rows = []
+        for ef in (48, 64, 96):
+            ids = idx.batch_search(ds.queries, k, ef_search=ef)
+            rows.append({"ef": ef,
+                         "recall10": round(float(calc_recall(ids, gt)), 4)})
+            print(shards, rows[-1], flush=True)
+        return build_s, rows
+
+    build_s, rows = fit_measure(8)
+    build1_s, rows1 = fit_measure(1)  # single-device control, same params
     out = {
         "config": "hnsw build_shards=8 (ring-rotating mesh build), "
                   f"n={n} dim={dim} R=24 efc=96, 8-virtual-CPU mesh",
@@ -53,6 +59,8 @@ def main() -> None:
         "host": f"nproc={os.cpu_count()} (hermetic CPU mesh; the physical "
                 "fleet has one TPU chip)",
         "rows": rows,
+        "single_device_control": {"build_s": round(build1_s, 1),
+                                  "rows": rows1},
     }
     with open(os.path.join(REPO, "results", "sharded_build_100k.json"),
               "w") as f:

@@ -199,7 +199,12 @@ def main() -> None:
                "qps_e2e": round(qps, 1)}
         try:
             probe = chip_rate_block if is_block else chip_rate_thin
-            row["qps_chip"] = round(probe(idx, queries, ef, iters), 1)
+            # 1-bit applies rabitq_ef_boost internally — probe the pool
+            # the e2e path actually ran, or the chip rate pairs with the
+            # wrong recall
+            probe_ef = (int(round(ef * boost)) if quant == "rabitq"
+                        else ef)
+            row["qps_chip"] = round(probe(idx, queries, probe_ef, iters), 1)
         except Exception as e:  # pragma: no cover - chip-only path
             row["qps_chip_error"] = str(e)[:200]
         rows.append(row)

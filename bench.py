@@ -490,7 +490,7 @@ def _supervise() -> int:
     import subprocess
 
     attempts = max(1, int(os.environ.get("ALAYA_BENCH_RETRIES", "2")))
-    deadline = float(os.environ.get("ALAYA_BENCH_DEADLINE", "2400"))
+    deadline = float(os.environ.get("ALAYA_BENCH_DEADLINE", "3000"))
     env = dict(os.environ, ALAYA_BENCH_CHILD="1")
     rc = 1
     for att in range(1, attempts + 1):
